@@ -1,0 +1,388 @@
+"""MonarchLinear: the MoRe adapter layer (flax NNX).
+
+Reimplements the reference's adapter module (src/layers/monarch_linear.py:88-381)
+TPU-first:
+
+  * Parameters: ``blkdiag1 (nblocks, blk_r, in_blksz)`` and
+    ``blkdiag2 (nblocks, out_blksz, blk_r)``; adapter forward is
+    ``y = x @ dense^T + monarch(x)`` with the frozen dense path.
+  * Trainability is expressed through the variable type: adapter
+    parameters are ``AdapterParam`` (an ``nnx.Param`` subclass) while the
+    frozen dense weight / bias are plain ``nnx.Param`` -- optimizers filter
+    on the type instead of mutating ``requires_grad`` flags
+    (reference: train_utils.py:475-510 freezing walk).
+  * Merge/unmerge are explicit methods (``merge_adapter`` /
+    ``unmerge_adapter``) rather than ``train()``-flip side effects
+    (reference monarch_linear.py:255-276), which also avoids the
+    reference's re-merge-after-reload pitfall (qlora_monarch.py:828-833).
+  * The monarch matmul dispatches to the fused Pallas kernel on TPU and
+    the jnp/XLA path elsewhere (reference's use_triton switch,
+    monarch_linear.py:117).
+
+Init parity (monarch_linear.py:199-224): per-block Kaiming-uniform with
+bound 1/sqrt(block_fan_in) on blkdiag1; blkdiag2 is ZERO-initialised in
+plain adapter mode (LoRA-style: the adapter starts as the identity map)
+and Kaiming-initialised only when a scaler provides the zero gate or in
+projection mode.
+
+Orientation note: the reference projects ``w.T`` in
+``set_weights_from_dense_init`` (monarch_linear.py:243), making the monarch
+path approximate ``x @ w`` instead of the layer's ``x @ w^T`` (benign only
+for square symmetric weights).  We project ``w`` directly so the adapter
+approximates the actual linear map.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import monarch_mm
+from sparse_matrix_fine_tuning_tpu.ops.blockdiag import blockdiag_multiply
+from sparse_matrix_fine_tuning_tpu.ops.monarch import monarch_dense_equivalent
+from sparse_matrix_fine_tuning_tpu.ops.projection import (
+    blockdiag_butterfly_project_einsum_rank,
+)
+
+Array = jax.Array
+
+# Reference defaults: src/layers/monarch_linear.py:79-85 plus the extended
+# config surface read via peft_config.get(...) throughout __init__.
+DEFAULT_PEFT_CONFIG: dict[str, Any] = {
+    "nblocks": 4,
+    "blk_r": 4,
+    "blk_sz": None,
+    "square": False,
+    "adapter": True,
+    "svd_init": False,
+    "scaler": False,
+    "scaler_type": "scaler",
+    "layernorm": False,
+    "affine": False,
+    "lora_style_init": False,
+    "use_mult_factor": False,
+    "dropout": 0.0,
+}
+
+
+class AdapterParam(nnx.Param):
+    """Trainable adapter parameter.  Optimizers/surgery filter on this type;
+    everything that is a plain ``nnx.Param`` stays frozen during PEFT."""
+
+
+def _kaiming_block_uniform(key, shape, dtype):
+    """Per-block Kaiming uniform: bound = 1/sqrt(fan_in of one block's row)
+    -- gain(leaky_relu, sqrt(5)) * sqrt(3) cancels to exactly 1
+    (reference monarch_linear.py:213-224)."""
+    fan_in = shape[-1]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class Scaler(nnx.Module):
+    """Scale (scalar or per-feature) + LayerNorm gate on the adapter branch
+    (reference monarch_linear.py:47-76; the reference's Scaler always
+    applies LayerNorm regardless of the ``layernorm`` flag)."""
+
+    def __init__(self, out_features: int, scaler_type: str = "scaler",
+                 affine: bool = False, *, dtype=None, param_dtype=jnp.float32,
+                 rngs: nnx.Rngs):
+        assert scaler_type in ("scaler", "diag")
+        self.scaler_type = scaler_type
+        shape = (1,) if scaler_type == "scaler" else (out_features,)
+        self.scaler = AdapterParam(jnp.zeros(shape, param_dtype))
+        self.norm = nnx.LayerNorm(
+            out_features, epsilon=1e-5, use_bias=affine, use_scale=affine,
+            dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+        )
+        if affine:
+            # affine LN params train with the adapter
+            self.norm.scale = AdapterParam(self.norm.scale.value)
+            self.norm.bias = AdapterParam(self.norm.bias.value)
+
+    def __call__(self, x: Array) -> Array:
+        return self.norm(x * self.scaler.value.astype(x.dtype))
+
+
+class MonarchLinear(nnx.Module):
+    """Monarch (MoRe) adapter / structured linear layer."""
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        *,
+        peft_config: Optional[dict] = None,
+        weights: Optional[Array] = None,
+        bias: Optional[Array] = None,
+        use_bias: bool = False,
+        nblocks: Optional[int] = None,
+        blk_r: Optional[int] = None,
+        blk_sz: Optional[int] = None,
+        as_adapter: Optional[bool] = None,
+        project_rank: int = 1,
+        dtype=None,
+        param_dtype=jnp.float32,
+        impl: str = "auto",
+        rngs: nnx.Rngs,
+    ):
+        """
+        Args:
+          peft_config: reference-compatible config dict (keys as in
+            task_configs/*/peft_config.json).  Explicit kwargs override it.
+          weights: dense (out_features, in_features) weight.  In adapter
+            mode it becomes the frozen base; otherwise it is SVD-projected
+            onto the factors (and with ``svd_init`` the residual is kept as
+            the frozen dense part, reference monarch_linear.py:249-253).
+          bias: optional dense bias (frozen).
+          use_bias: create a zero-init bias when ``bias`` is None.
+          project_rank: SVD rank for dense->Monarch projection.
+        """
+        cfg = dict(DEFAULT_PEFT_CONFIG)
+        if peft_config:
+            cfg.update({k: v for k, v in peft_config.items() if v is not None})
+        self.in_features = in_features
+        self.out_features = out_features
+        self.dtype = dtype
+        self.param_dtype = param_dtype
+        self.impl = impl
+
+        # --- shape resolution (reference monarch_linear.py:119-137) ---
+        self.nblocks = nblocks if nblocks is not None else cfg["nblocks"]
+        self.blk_r = blk_r if blk_r is not None else cfg["blk_r"]
+        self.blk_sz = blk_sz if blk_sz is not None else cfg["blk_sz"]
+        if self.blk_sz is None:
+            self.blk_sz = int(math.ceil(in_features / self.nblocks))
+        self.in_blksz = self.blk_sz
+        if cfg["square"]:
+            self.blk_r = self.in_blksz
+        # drop fully-padded blocks / extend to cover the input
+        self.nblocks = (in_features + self.in_blksz - 1) // self.in_blksz
+        align = out_features / in_features
+        self.out_blksz = int(math.ceil(self.in_blksz * align))
+
+        self.as_adapter = cfg["adapter"] if as_adapter is None else as_adapter
+        self.svd_init = cfg["svd_init"]
+        self.lora_style_init = cfg["lora_style_init"]
+        self.use_mult_factor = cfg["use_mult_factor"]
+        use_scaler = cfg["scaler"] or self.use_mult_factor
+        self.merged = False
+
+        # --- factor init ---
+        k1, k2, kb = jax.random.split(rngs.params(), 3)
+        if self.lora_style_init:
+            bd1 = jnp.zeros((self.nblocks, self.blk_r, self.in_blksz), param_dtype)
+            bd2 = jnp.zeros((self.nblocks, self.out_blksz, self.blk_r), param_dtype)
+        else:
+            bd1 = _kaiming_block_uniform(
+                k1, (self.nblocks, self.blk_r, self.in_blksz), param_dtype)
+            if use_scaler or not self.as_adapter:
+                bd2 = _kaiming_block_uniform(
+                    k2, (self.nblocks, self.out_blksz, self.blk_r), param_dtype)
+            else:
+                # plain adapter: second factor zero => adapter starts as identity
+                bd2 = jnp.zeros((self.nblocks, self.out_blksz, self.blk_r), param_dtype)
+
+        if self.use_mult_factor:
+            eye = jnp.eye(self.out_blksz, self.in_blksz, dtype=param_dtype)
+            self.blkdiag_mult = AdapterParam(
+                jnp.tile(eye[None], (self.nblocks, 1, 1)))
+
+        # --- dense base / projection ---
+        dense_w = None
+        if weights is not None:
+            w = jnp.asarray(weights, param_dtype)
+            assert w.shape == (out_features, in_features), w.shape
+            if self.as_adapter and not self.svd_init:
+                dense_w = w  # frozen base
+            else:
+                bd1, bd2, dense_w = self._projected_values(w, project_rank)
+
+        self.blkdiag1 = AdapterParam(bd1)
+        self.blkdiag2 = AdapterParam(bd2)
+        self.dense = nnx.data(nnx.Param(dense_w) if dense_w is not None else None)
+
+        if bias is not None:
+            self.bias = nnx.Param(jnp.asarray(bias, param_dtype))
+        elif use_bias:
+            bound = 1.0 / math.sqrt(out_features)
+            self.bias = nnx.Param(jax.random.uniform(
+                kb, (out_features,), param_dtype, minval=-bound, maxval=bound))
+        else:
+            self.bias = None
+
+        # --- extras on the adapter branch ---
+        dropout_rate = float(cfg.get("dropout") or 0.0)
+        self.dropout = nnx.Dropout(rate=dropout_rate, rngs=rngs) if dropout_rate > 0 else None
+        if use_scaler:
+            if self.lora_style_init:
+                raise ValueError("LoRA-style init already zeroes the adapter; no scaler needed")
+            self.scaler = Scaler(
+                out_features, cfg["scaler_type"], cfg["affine"],
+                dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        else:
+            self.scaler = None
+
+    # ------------------------------------------------------------------
+    def _projected_values(self, w: Array, rank: int):
+        """SVD-project dense w onto the factors; with svd_init also return
+        the residual to keep as the frozen dense part (reference
+        monarch_linear.py:235-253, orientation corrected -- see module
+        docstring).  Returns (bd1, bd2, dense_residual_or_None)."""
+        pad_out = self.nblocks * self.out_blksz - self.out_features
+        pad_in = self.nblocks * self.in_blksz - self.in_features
+        w_p = jnp.pad(w, ((0, pad_out), (0, pad_in)))
+        bd1, bd2 = blockdiag_butterfly_project_einsum_rank(
+            w_p, self.nblocks, self.nblocks, rank)
+        bd1 = bd1.astype(self.param_dtype)
+        bd2 = bd2.astype(self.param_dtype)
+        dense_w = None
+        if self.svd_init:
+            approx = monarch_dense_equivalent(bd1, bd2)
+            approx = approx[: self.out_features, : self.in_features]
+            dense_w = (w - approx).astype(self.param_dtype)
+        return bd1, bd2, dense_w
+
+    # ------------------------------------------------------------------
+    def _preprocess(self, x: Array) -> Array:
+        """Zero-pad the features up to nblocks*in_blksz
+        (reference structured_linear.py:55-59)."""
+        pad = self.nblocks * self.in_blksz - x.shape[-1]
+        if pad > 0:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x
+
+    def _postprocess(self, out: Array) -> Array:
+        """Truncate features down to out_features
+        (reference structured_linear.py:61-65)."""
+        if out.shape[-1] > self.out_features:
+            out = out[..., : self.out_features]
+        return out
+
+    def monarch_forward(self, x: Array, *, deterministic: bool = True) -> Array:
+        w1 = self.blkdiag1.value
+        w2 = self.blkdiag2.value
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w1 = w1.astype(self.dtype)
+            w2 = w2.astype(self.dtype)
+        else:
+            w1 = w1.astype(x.dtype)
+            w2 = w2.astype(x.dtype)
+        out = monarch_mm(self._preprocess(x), w1, w2, impl=self.impl)
+        out = self._postprocess(out)
+        if self.dropout is not None and not deterministic:
+            out = self.dropout(out)
+        if self.scaler is not None:
+            out = self.scaler(out)
+        return out
+
+    def _dense_forward(self, x: Array) -> Array:
+        w = self.dense.value
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
+        else:
+            w = w.astype(x.dtype)
+        out = jax.lax.dot_general(
+            x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_mult_factor:
+            out = blockdiag_multiply(out, self.blkdiag_mult.value.astype(out.dtype))
+        return out
+
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        if self.as_adapter:
+            assert self.dense is not None, (
+                "adapter mode requires frozen dense weights (pass `weights=`) "
+                "or set as_adapter=False")
+            out = self._dense_forward(x)
+            if not self.merged:
+                out = out + self.monarch_forward(x, deterministic=deterministic)
+        else:
+            out = self.monarch_forward(x, deterministic=deterministic)
+        if self.bias is not None:
+            out = out + self.bias.value.astype(out.dtype)
+        return out
+
+    # ------------------------------------------------------------------
+    def adapter_dense_equivalent(self) -> Array:
+        """The dense (out, in) matrix currently added by the adapter branch
+        (including scaler; equals monarch_forward(I)^T as in reference
+        monarch_linear.py:265,274)."""
+        eye = jnp.eye(self.in_features, dtype=self.param_dtype)
+        return self.monarch_forward(eye, deterministic=True).T
+
+    def merge_adapter(self) -> None:
+        """Fold the adapter into the frozen dense weights for inference
+        (reference train(False) branch, monarch_linear.py:271-276)."""
+        if not self.as_adapter or self.merged:
+            return
+        self.dense.value = self.dense.value + self.adapter_dense_equivalent().astype(self.param_dtype)
+        self.merged = True
+
+    def unmerge_adapter(self) -> None:
+        """Split the adapter back out for continued training
+        (reference train(True) branch, monarch_linear.py:261-268)."""
+        if not self.as_adapter or not self.merged:
+            return
+        self.dense.value = self.dense.value - self.adapter_dense_equivalent().astype(self.param_dtype)
+        self.merged = False
+
+    @property
+    def saving(self) -> float:
+        """Adapter-params / dense-params compression ratio
+        (reference monarch_linear.py:312-314)."""
+        return (self.blkdiag1.value.size + self.blkdiag2.value.size) / (
+            self.in_features * self.out_features)
+
+
+class MonarchFactor(nnx.Module):
+    """A single trainable block-diagonal factor; used by ReFT's
+    ``MoReIntervention`` as rotation / learned-source maps
+    (reference monarch_linear.py:317-381)."""
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        *,
+        nblocks: int = 4,
+        blk_r: int = 4,
+        use_bias: bool = False,
+        ortho: bool = False,
+        all_zero: bool = False,
+        param_dtype=jnp.float32,
+        rngs: nnx.Rngs,
+    ):
+        assert in_features % nblocks == 0, "in_features must divide by nblocks"
+        self.in_features = in_features
+        self.out_features = out_features
+        self.nblocks = nblocks
+        self.blk_r = blk_r
+        self.in_blk_sz = in_features // nblocks
+        shape = (nblocks, blk_r, self.in_blk_sz)
+        key = rngs.params()
+        if all_zero:
+            w = jnp.zeros(shape, param_dtype)
+        elif ortho:
+            # per-block semi-orthogonal init, fp32 (reference :361-371)
+            keys = jax.random.split(key, nblocks)
+            w = jnp.stack([
+                jax.nn.initializers.orthogonal()(keys[i], (blk_r, self.in_blk_sz), jnp.float32)
+                for i in range(nblocks)
+            ]).astype(param_dtype)
+        else:
+            w = _kaiming_block_uniform(key, shape, param_dtype)
+        self.weight = AdapterParam(w)
+        self.bias = AdapterParam(jnp.zeros((out_features,), param_dtype)) if use_bias else None
+
+    def __call__(self, x: Array) -> Array:
+        out = blockdiag_multiply(x, self.weight.value.astype(x.dtype))
+        if self.bias is not None:
+            out = out + self.bias.value.astype(out.dtype)
+        return out

@@ -1,0 +1,66 @@
+"""Pallas fused Monarch kernel vs jnp path (interpreter mode on CPU).
+
+Mirrors the reference's kernel test (demos/test_triton.py:48-66): forward
+outputs and all three gradients compared against the reference path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+    monarch_kernel,
+    monarch_kernel_supported,
+)
+from sparse_matrix_fine_tuning_tpu.ops.monarch import blockdiag_butterfly_multiply
+
+CASES = [
+    # (batch, K, Q, P, S) with L=K, R=Q
+    (16, 4, 4, 32, 32),     # adapter config nblocks=4 blk_r=4
+    (65, 4, 8, 16, 24),     # ragged batch (tests masking), rectangular out
+    (8, 2, 16, 64, 64),     # larger rank
+]
+
+
+def _mk(batch, K, Q, P, S, dtype=jnp.float32, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+    x = jax.random.normal(keys[0], (batch, K * P), dtype=dtype)
+    w1 = jax.random.normal(keys[1], (K, Q, P), dtype=dtype)
+    w2 = jax.random.normal(keys[2], (K, S, Q), dtype=dtype)
+    return x, w1, w2
+
+
+@pytest.mark.parametrize("batch,K,Q,P,S", CASES)
+def test_forward_matches_xla(batch, K, Q, P, S):
+    x, w1, w2 = _mk(batch, K, Q, P, S)
+    assert monarch_kernel_supported(x.shape[-1], w1.shape, w2.shape)
+    ref = blockdiag_butterfly_multiply(x, w1, w2)
+    got = monarch_kernel(x, w1, w2, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("batch,K,Q,P,S", CASES)
+def test_grads_match_xla(batch, K, Q, P, S):
+    x, w1, w2 = _mk(batch, K, Q, P, S, seed=1)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (batch, S * K))
+
+    def loss_pallas(x, w1, w2):
+        return jnp.sum(monarch_kernel(x, w1, w2, True) * cot)
+
+    def loss_ref(x, w1, w2):
+        return jnp.sum(blockdiag_butterfly_multiply(x, w1, w2) * cot)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w1, w2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_3d_batch_shape():
+    x, w1, w2 = _mk(12, 4, 4, 16, 16, seed=3)
+    x3 = x.reshape(3, 4, 64)
+    out = monarch_kernel(x3, w1, w2, True)
+    assert out.shape == (3, 4, 64)
+    ref = blockdiag_butterfly_multiply(x3, w1, w2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
