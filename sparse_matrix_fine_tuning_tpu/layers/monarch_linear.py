@@ -217,7 +217,7 @@ class MonarchLinear(nnx.Module):
 
         # --- extras on the adapter branch ---
         dropout_rate = float(cfg.get("dropout") or 0.0)
-        self.dropout = nnx.Dropout(rate=dropout_rate, rngs=rngs) if dropout_rate > 0 else None
+        self.dropout = nnx.Dropout(rate=dropout_rate, deterministic=True, rngs=rngs) if dropout_rate > 0 else None
         if use_scaler:
             if self.lora_style_init:
                 raise ValueError("LoRA-style init already zeroes the adapter; no scaler needed")
@@ -263,7 +263,7 @@ class MonarchLinear(nnx.Module):
             out = out[..., : self.out_features]
         return out
 
-    def monarch_forward(self, x: Array, *, deterministic: bool = True) -> Array:
+    def monarch_forward(self, x: Array, *, deterministic=None) -> Array:
         w1 = self.blkdiag1.value
         w2 = self.blkdiag2.value
         if self.dtype is not None:
@@ -275,8 +275,8 @@ class MonarchLinear(nnx.Module):
             w2 = w2.astype(x.dtype)
         out = monarch_mm(self._preprocess(x), w1, w2, impl=self.impl)
         out = self._postprocess(out)
-        if self.dropout is not None and not deterministic:
-            out = self.dropout(out)
+        if self.dropout is not None:
+            out = self.dropout(out, deterministic=deterministic)
         if self.scaler is not None:
             out = self.scaler(out)
         return out
@@ -295,7 +295,7 @@ class MonarchLinear(nnx.Module):
             out = blockdiag_multiply(out, self.blkdiag_mult.value.astype(out.dtype))
         return out
 
-    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, *, deterministic=None) -> Array:
         if self.as_adapter:
             assert self.dense is not None, (
                 "adapter mode requires frozen dense weights (pass `weights=`) "

@@ -1,0 +1,15 @@
+from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig, RobertaConfig
+from sparse_matrix_fine_tuning_tpu.models.llama import LlamaForCausalLM, LlamaModel
+from sparse_matrix_fine_tuning_tpu.models.roberta import (
+    RobertaForSequenceClassification,
+    RobertaModel,
+)
+
+__all__ = [
+    "LlamaConfig",
+    "RobertaConfig",
+    "LlamaForCausalLM",
+    "LlamaModel",
+    "RobertaForSequenceClassification",
+    "RobertaModel",
+]

@@ -1,0 +1,95 @@
+"""Model configurations.
+
+Plain dataclasses (JSON-serialisable) for the TPU-native model family.
+Field names track the HF configs so checkpoints/configs map over directly
+(the reference uses stock HF RoBERTa/DeBERTa/Llama -- SURVEY.md section 2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+def _resolve_dtype(name):
+    import jax.numpy as jnp
+    if name is None:
+        return None
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+@dataclasses.dataclass
+class RobertaConfig:
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    num_labels: int = 2
+    # regression tasks (STS-B) use num_labels == 1
+    dtype: Optional[str] = None  # compute dtype, e.g. "bfloat16"; params stay f32
+
+    @classmethod
+    def tiny(cls, **kw):
+        """CPU-testable config."""
+        d = dict(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                 num_attention_heads=4, intermediate_size=64,
+                 max_position_embeddings=66)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def base(cls, **kw):
+        return cls(**kw)
+
+    @classmethod
+    def large(cls, **kw):
+        d = dict(hidden_size=1024, num_hidden_layers=24,
+                 num_attention_heads=16, intermediate_size=4096)
+        d.update(kw)
+        return cls(**d)
+
+
+@dataclasses.dataclass
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None  # None -> MHA
+    intermediate_size: int = 11008
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    pad_token_id: int = 0
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    tie_word_embeddings: bool = False
+    dtype: Optional[str] = None  # compute dtype, e.g. "bfloat16"; params stay f32
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, **kw):
+        d = dict(vocab_size=256, hidden_size=64, num_hidden_layers=2,
+                 num_attention_heads=4, num_key_value_heads=2,
+                 intermediate_size=128, max_position_embeddings=128)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def llama2_7b(cls, **kw):
+        return cls(**kw)
+
+
+RobertaConfig.compute_dtype = property(lambda self: _resolve_dtype(self.dtype))
+LlamaConfig.compute_dtype = property(lambda self: _resolve_dtype(self.dtype))

@@ -1,0 +1,202 @@
+"""TPU-native Llama (flax NNX).
+
+Decoder-only transformer with RMSNorm, rotary embeddings, GQA and SwiGLU,
+with HF attribute names (``q_proj``/``k_proj``/``v_proj``/``o_proj``,
+``gate_proj``/``up_proj``/``down_proj``) so the reference's target_modules
+configs port 1:1 (reference task_configs/llama/peft_config.json).
+
+The attention supports an optional KV cache for autoregressive decode
+(functional: the caller threads cache arrays + position, see generate.py);
+training path uses a causal mask and one fused softmax(QK^T)V.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig
+from sparse_matrix_fine_tuning_tpu.ops.activations import swiglu
+
+Array = jax.Array
+
+
+def _linear(in_f, out_f, rngs, use_bias=False, dtype=None):
+    return nnx.Linear(
+        in_f, out_f, use_bias=use_bias, dtype=dtype,
+        kernel_init=nnx.initializers.normal(stddev=0.02),
+        rngs=rngs,
+    )
+
+
+def rope_freqs(head_dim: int, theta: float) -> Array:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def apply_rope(x: Array, positions: Array, theta: float) -> Array:
+    """x: (b, t, heads, head_dim); positions: (b, t) int."""
+    hd = x.shape[-1]
+    freqs = rope_freqs(hd, theta)  # (hd/2,)
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (b, t, hd/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class LlamaAttention(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.num_heads = cfg.num_attention_heads
+        self.num_kv = cfg.kv_heads
+        self.head_dim = cfg.hidden_size // cfg.num_attention_heads
+        self.q_proj = _linear(cfg.hidden_size, self.num_heads * self.head_dim, rngs, dtype=cfg.compute_dtype)
+        self.k_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, dtype=cfg.compute_dtype)
+        self.v_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, dtype=cfg.compute_dtype)
+        self.o_proj = _linear(self.num_heads * self.head_dim, cfg.hidden_size, rngs, dtype=cfg.compute_dtype)
+
+    def __call__(self, x, attn_bias, positions, cache=None):
+        b, t, _ = x.shape
+        q = self.q_proj(x).reshape(b, t, self.num_heads, self.head_dim)
+        k = self.k_proj(x).reshape(b, t, self.num_kv, self.head_dim)
+        v = self.v_proj(x).reshape(b, t, self.num_kv, self.head_dim)
+        q = apply_rope(q, positions, self.cfg.rope_theta)
+        k = apply_rope(k, positions, self.cfg.rope_theta)
+
+        if cache is not None:
+            # decode: write this step's k/v at `cache_index` and attend over
+            # the whole cache (attn_bias must mask future/unfilled slots)
+            k_cache, v_cache, idx = cache
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, idx, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, idx, axis=1)
+            k, v = k_cache, v_cache
+            new_cache = (k_cache, v_cache)
+        else:
+            new_cache = None
+
+        groups = self.num_heads // self.num_kv
+        kr = jnp.repeat(k, groups, axis=2) if groups > 1 else k
+        vr = jnp.repeat(v, groups, axis=2) if groups > 1 else v
+        scores = jnp.einsum("bthd,bshd->bhts", q, kr) / math.sqrt(self.head_dim)
+        scores = scores + attn_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhts,bshd->bthd", probs, vr).reshape(b, t, -1)
+        return self.o_proj(ctx), new_cache
+
+
+class LlamaMLP(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        self.gate_proj = _linear(cfg.hidden_size, cfg.intermediate_size, rngs, dtype=cfg.compute_dtype)
+        self.up_proj = _linear(cfg.hidden_size, cfg.intermediate_size, rngs, dtype=cfg.compute_dtype)
+        self.down_proj = _linear(cfg.intermediate_size, cfg.hidden_size, rngs, dtype=cfg.compute_dtype)
+
+    def __call__(self, x):
+        return self.down_proj(swiglu(self.gate_proj(x), self.up_proj(x)))
+
+
+class LlamaDecoderLayer(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        self.self_attn = LlamaAttention(cfg, rngs=rngs)
+        self.mlp = LlamaMLP(cfg, rngs=rngs)
+        self.input_layernorm = nnx.RMSNorm(cfg.hidden_size, epsilon=cfg.rms_norm_eps,
+                                          dtype=cfg.compute_dtype, rngs=rngs)
+        self.post_attention_layernorm = nnx.RMSNorm(
+            cfg.hidden_size, epsilon=cfg.rms_norm_eps, dtype=cfg.compute_dtype,
+            rngs=rngs)
+
+    def __call__(self, x, attn_bias, positions, cache=None):
+        attn_out, new_cache = self.self_attn(
+            self.input_layernorm(x), attn_bias, positions, cache)
+        x = x + attn_out
+        x = x + self.mlp(self.post_attention_layernorm(x))
+        return x, new_cache
+
+
+class LlamaModel(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        self.config = cfg
+        self.embed_tokens = nnx.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=cfg.compute_dtype,
+            embedding_init=nnx.initializers.normal(stddev=0.02), rngs=rngs)
+        self.layers = nnx.List([LlamaDecoderLayer(cfg, rngs=rngs)
+                                for _ in range(cfg.num_hidden_layers)])
+        self.norm = nnx.RMSNorm(cfg.hidden_size, epsilon=cfg.rms_norm_eps,
+                                          dtype=cfg.compute_dtype, rngs=rngs)
+
+    def __call__(self, input_ids, attention_mask=None, positions=None, caches=None,
+                 cache_index=None):
+        b, t = input_ids.shape
+        x = self.embed_tokens(input_ids)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        if caches is None:
+            # training/prefill: causal mask (+ padding mask)
+            causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+            bias = jnp.where(causal[None, None], 0.0, -1e9).astype(x.dtype)
+            if attention_mask is not None:
+                pad = (1.0 - attention_mask[:, None, None, :].astype(x.dtype)) * jnp.asarray(
+                    -1e9, x.dtype)
+                bias = bias + pad
+            new_caches = None
+            for lyr in self.layers:
+                x, _ = lyr(x, bias, positions)
+        else:
+            # decode step over a fixed-size cache; attention_mask (b, cache_len)
+            bias = (1.0 - attention_mask[:, None, None, :].astype(x.dtype)) * jnp.asarray(
+                -1e9, x.dtype)
+            new_caches = []
+            for lyr, (kc, vc) in zip(self.layers, caches):
+                x, nc = lyr(x, bias, positions, cache=(kc, vc, cache_index))
+                new_caches.append(nc)
+        x = self.norm(x)
+        return x, new_caches
+
+
+class LlamaForCausalLM(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        self.config = cfg
+        self.model = LlamaModel(cfg, rngs=rngs)
+        if cfg.tie_word_embeddings:
+            self.lm_head = None
+        else:
+            self.lm_head = _linear(cfg.hidden_size, cfg.vocab_size, rngs, dtype=cfg.compute_dtype)
+
+    def logits(self, hidden: Array) -> Array:
+        if self.lm_head is None:
+            emb = self.model.embed_tokens.embedding.value
+            return hidden @ emb.T.astype(hidden.dtype)
+        return self.lm_head(hidden)
+
+    def __call__(self, input_ids, attention_mask=None, positions=None, caches=None,
+                 cache_index=None):
+        hidden, new_caches = self.model(
+            input_ids, attention_mask, positions, caches, cache_index)
+        out = self.logits(hidden)
+        return (out, new_caches) if caches is not None else out
+
+    def loss(self, logits: Array, labels: Array, ignore_index: int = -100) -> Array:
+        """Shifted causal-LM cross-entropy with IGNORE_INDEX masking
+        (matches the reference's HF loss + label masking,
+        pyreft/loreft/dataset.py:243-244)."""
+        shift_logits = logits[:, :-1].astype(jnp.float32)
+        shift_labels = labels[:, 1:]
+        mask = shift_labels != ignore_index
+        safe = jnp.where(mask, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1).squeeze(-1)
+        return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def init_caches(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """Allocate empty KV caches: list of (k, v) of (b, max_len, kv_heads, hd)."""
+    hd = cfg.hidden_size // cfg.num_attention_heads
+    return [
+        (jnp.zeros((batch, max_len, cfg.kv_heads, hd), dtype),
+         jnp.zeros((batch, max_len, cfg.kv_heads, hd), dtype))
+        for _ in range(cfg.num_hidden_layers)
+    ]

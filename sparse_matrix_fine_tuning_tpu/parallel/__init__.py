@@ -1,0 +1,8 @@
+from sparse_matrix_fine_tuning_tpu.parallel.mesh import make_mesh
+from sparse_matrix_fine_tuning_tpu.parallel.sharding import (
+    batch_sharding,
+    replicated,
+    shard_state,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_state"]

@@ -1,0 +1,111 @@
+"""Trainable-params-only checkpointing.
+
+The reference saves only ``requires_grad`` params (adapter checkpoints are
+MBs, not GBs -- train_utils.py:297-307) and resumes by scanning
+``checkpoint-*`` dirs with a ``completed`` marker (train_utils.py:575-589).
+
+Format: the trainable NNX state and optimizer state are flattened to leaf
+lists and stored in one ``.npz`` per tree; restore unflattens against the
+live state's treedef, so structure always matches the running model and the
+frozen base is never written.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def _save_tree(path: str, tree) -> None:
+    leaves = jax.tree.leaves(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)
+              if hasattr(x, "shape") or np.isscalar(x)}
+    np.savez(path, **arrays)
+
+
+def _load_tree(path: str, template):
+    data = np.load(path, allow_pickle=False)
+    leaves, treedef = jax.tree.flatten(template)
+    new_leaves = []
+    for i, tmpl in enumerate(leaves):
+        key = f"leaf_{i}"
+        if key in data.files:
+            arr = data[key]
+            if hasattr(tmpl, "shape"):
+                assert arr.shape == tuple(tmpl.shape), (
+                    f"checkpoint leaf {i} shape {arr.shape} != template {tmpl.shape}")
+                arr = jax.numpy.asarray(arr, dtype=tmpl.dtype)
+            new_leaves.append(arr)
+        else:
+            new_leaves.append(tmpl)
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
+def save(output_dir: str, step: int, trainable, opt_state, *,
+         tag: Optional[str] = None, save_total_limit: int = 0,
+         log_history: Optional[list] = None, final: bool = False) -> str:
+    name = f"checkpoint-{tag}" if tag else f"checkpoint-{step}"
+    path = os.path.join(output_dir, name)
+    os.makedirs(path, exist_ok=True)
+    _save_tree(os.path.join(path, "trainable.npz"), trainable)
+    _save_tree(os.path.join(path, "opt_state.npz"), opt_state)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"step": step}, f)
+    if log_history is not None:
+        with open(os.path.join(output_dir, "log_history.json"), "w") as f:
+            json.dump(log_history, f, indent=1)
+    if final:
+        open(os.path.join(output_dir, "completed"), "w").close()
+    if save_total_limit:
+        _prune(output_dir, save_total_limit)
+    return path
+
+
+def _prune(output_dir: str, limit: int):
+    if limit <= 0:
+        return
+    ckpts = []
+    for d in os.listdir(output_dir):
+        suffix = d[len("checkpoint-"):] if d.startswith("checkpoint-") else ""
+        if suffix.isdigit():
+            ckpts.append((int(suffix), d))
+    ckpts.sort()
+    for _, d in ckpts[:-limit]:
+        shutil.rmtree(os.path.join(output_dir, d), ignore_errors=True)
+
+
+def load(path: str, trainable_template, opt_state_template):
+    """Restore (trainable, opt_state, meta) using the live states as
+    structural templates."""
+    trainable = _load_tree(os.path.join(path, "trainable.npz"), trainable_template)
+    opt_path = os.path.join(path, "opt_state.npz")
+    opt_state = opt_state_template
+    if os.path.exists(opt_path):
+        opt_state = _load_tree(opt_path, opt_state_template)
+    meta = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+    return trainable, opt_state, meta
+
+
+def get_last_checkpoint(output_dir: str):
+    """(last_checkpoint_path_or_None, completed) -- reference
+    train_utils.py:575-589 semantics."""
+    if not os.path.isdir(output_dir):
+        return None, False
+    completed = os.path.exists(os.path.join(output_dir, "completed"))
+    if completed:
+        return None, True
+    max_step, best = 0, None
+    for d in os.listdir(output_dir):
+        if d.startswith("checkpoint-") and d[len("checkpoint-"):].isdigit():
+            s = int(d[len("checkpoint-"):])
+            if s > max_step:
+                max_step, best = s, os.path.join(output_dir, d)
+    return best, completed

@@ -1,0 +1,317 @@
+"""jit/pjit training loop -- the TPU-native replacement for HF Trainer.
+
+Built on NNX transforms: one ``nnx.jit`` step takes (model, optimizer,
+batch); gradients are taken ONLY w.r.t. the trainable filter
+(``nnx.DiffState``) so the frozen base never gets a gradient buffer -- the
+TPU-native equivalent of requires_grad=False (reference
+train_utils.py:499-505).  RNG streams (adapter dropout) advance natively
+through the nnx transforms.
+
+Capabilities mirrored from the reference harness layer:
+  * 3-group AdamW (optim.py), warmup + cosine/linear schedules
+  * gradient accumulation (optax.MultiSteps)
+  * periodic eval with a pluggable metric fn, best-checkpoint tracking
+    (HF ``load_best_model_at_end`` -- task_configs/monarch_roberta_glue/cola.json:20-23)
+  * trainable-params-only checkpoints (reference train_utils.py:297-307)
+  * periodic ``param_stats`` sanity prints (train_utils.py:286-295)
+  * optional ("dp","fsdp") mesh: frozen base FSDP-sharded, adapters +
+    optimizer state replicated, batches data-parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.parallel.sharding import batch_sharding, shard_state
+from sparse_matrix_fine_tuning_tpu.peft.surgery import (
+    DEFAULT_TRAINABLE_PATHS,
+    param_stats,
+    trainable_filter,
+)
+from sparse_matrix_fine_tuning_tpu.training import checkpoint as ckpt_lib
+from sparse_matrix_fine_tuning_tpu.training.optim import build_optimizer
+
+
+@dataclasses.dataclass
+class TrainingArgs:
+    output_dir: str = "results/run"
+    learning_rate: float = 5e-5
+    num_train_epochs: float = 3.0
+    max_steps: int = -1
+    per_device_train_batch_size: int = 16
+    per_device_eval_batch_size: int = 32
+    gradient_accumulation_steps: int = 1
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.06
+    lr_scheduler_type: str = "linear"
+    max_grad_norm: float = 1.0
+    seed: int = 42
+    logging_steps: int = 50
+    eval_steps: int = 0            # 0 = eval at epoch end only
+    save_steps: int = 0            # 0 = save at end only
+    save_total_limit: int = 1
+    load_best_model_at_end: bool = False
+    metric_for_best_model: str = "loss"
+    greater_is_better: Optional[bool] = None
+    # 3-group optimizer extras (reference train_utils.py:309-356)
+    large_lr: bool = False
+    new_lr: float = 5e-3
+    use_scaler: bool = False
+    log_param_steps: int = 900
+    bf16: bool = False
+
+
+class Trainer:
+    """Minimal-but-complete PEFT trainer.
+
+    Args:
+      model: NNX model (already adapter-surgeried).
+      args: TrainingArgs.
+      train_data / eval_data: dict[str, np.ndarray] with equal leading dim.
+      loss_fn: (model, batch, train: bool) -> scalar loss.  Default expects
+        model(input_ids, attention_mask) + model.loss(logits, labels).
+      compute_metrics: (model, eval_data) -> dict, optional; the default
+        eval reports loss only.
+      mesh: optional jax Mesh for sharded training.
+    """
+
+    def __init__(self, model: nnx.Module, args: TrainingArgs,
+                 train_data: Optional[dict] = None,
+                 eval_data: Optional[dict] = None,
+                 loss_fn: Optional[Callable] = None,
+                 compute_metrics: Optional[Callable] = None,
+                 mesh=None,
+                 extra_trainable_paths: Iterable[str] = DEFAULT_TRAINABLE_PATHS):
+        self.model = model
+        self.args = args
+        self.train_data = train_data
+        self.eval_data = eval_data
+        self.loss_fn = loss_fn or self._default_loss
+        self.compute_metrics = compute_metrics
+        self.mesh = mesh
+        self.extra_paths = tuple(extra_trainable_paths)
+        self.filt = trainable_filter(self.extra_paths)
+        self.step = 0
+        self.log_history: list[dict] = []
+        self.best_metric = None
+        self.best_ckpt = None
+        self._build()
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _default_loss(model, batch, train: bool):
+        kwargs = {}
+        if "attention_mask" in batch:
+            kwargs["attention_mask"] = batch["attention_mask"]
+        logits = model(batch["input_ids"], **kwargs)
+        return model.loss(logits, batch["labels"])
+
+    def _n_examples(self, data):
+        return len(next(iter(data.values())))
+
+    def num_training_steps(self) -> int:
+        if self.args.max_steps > 0:
+            return self.args.max_steps
+        n = self._n_examples(self.train_data)
+        per_step = self.args.per_device_train_batch_size
+        steps_per_epoch = math.ceil(n / per_step / max(self.args.gradient_accumulation_steps, 1))
+        return int(math.ceil(steps_per_epoch * self.args.num_train_epochs))
+
+    @property
+    def trainable(self):
+        return nnx.state(self.model, self.filt)
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        a = self.args
+        total = self.num_training_steps() if self.train_data is not None else 1
+        self.tx = build_optimizer(
+            self.trainable,
+            learning_rate=a.learning_rate,
+            total_steps=total,
+            warmup_ratio=a.warmup_ratio,
+            lr_scheduler_type=a.lr_scheduler_type,
+            weight_decay=a.weight_decay,
+            large_lr=a.large_lr,
+            new_lr=a.new_lr,
+            use_scaler=a.use_scaler,
+            max_grad_norm=a.max_grad_norm,
+            gradient_accumulation_steps=a.gradient_accumulation_steps,
+        )
+        self.optimizer = nnx.Optimizer(self.model, self.tx, wrt=self.filt)
+
+        if self.mesh is not None:
+            # frozen base FSDP-sharded; adapters + optimizer state replicated
+            frozen_params = nnx.All(nnx.Param, nnx.Not(self.filt))
+            nnx.update(self.model,
+                       shard_state(nnx.state(self.model, frozen_params), self.mesh))
+            nnx.update(self.model,
+                       shard_state(self.trainable, self.mesh, replicate=True))
+            nnx.update(self.optimizer,
+                       shard_state(nnx.state(self.optimizer), self.mesh, replicate=True))
+
+        filt, loss_fn = self.filt, self.loss_fn
+
+        @nnx.jit
+        def train_step(model, optimizer, batch):
+            def inner(m, b):
+                return loss_fn(m, b, True)
+            loss, grads = nnx.value_and_grad(
+                inner, argnums=nnx.DiffState(0, filt))(model, batch)
+            optimizer.update(model, grads)
+            return loss
+
+        @nnx.jit
+        def eval_step(model, batch):
+            return loss_fn(model, batch, False)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # ------------------------------------------------------------------
+    def _batches(self, data, batch_size, shuffle=True, seed=0):
+        n = self._n_examples(data)
+        idx = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(idx)
+        for start in range(0, n, batch_size):
+            sel = idx[start:start + batch_size]
+            batch = {k: v[sel] for k, v in data.items()}
+            if len(sel) < batch_size:
+                # pad ragged tail for static shapes (single compilation)
+                pad = batch_size - len(sel)
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                         for k, v in batch.items()}
+                batch["_valid"] = np.concatenate(
+                    [np.ones(len(sel), np.int32), np.zeros(pad, np.int32)])
+            if self.mesh is not None:
+                sh = batch_sharding(self.mesh)
+                batch = {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            yield batch, len(sel)
+
+    # ------------------------------------------------------------------
+    def train(self, resume: bool = False):
+        a = self.args
+        if resume:
+            self._maybe_resume()
+        total_steps = self.num_training_steps()
+        bs = a.per_device_train_batch_size
+        epochs = int(math.ceil(a.num_train_epochs))
+        micro_per_step = max(a.gradient_accumulation_steps, 1)
+        t0 = time.time()
+        running = []
+        micro = 0
+        done = False
+        self.model.train()
+        for epoch in range(epochs):
+            if done:
+                break
+            for batch, _ in self._batches(self.train_data, bs, shuffle=True,
+                                          seed=a.seed + epoch):
+                batch.pop("_valid", None)
+                loss = self._train_step(self.model, self.optimizer, batch)
+                running.append(loss)
+                micro += 1
+                if micro % micro_per_step:
+                    continue
+                self.step += 1
+                if a.logging_steps and self.step % a.logging_steps == 0:
+                    mean_loss = float(jnp.mean(jnp.stack(running)))
+                    running = []
+                    rec = {"step": self.step, "loss": round(mean_loss, 5),
+                           "elapsed_s": round(time.time() - t0, 1)}
+                    self.log_history.append(rec)
+                    print(json.dumps(rec))
+                if a.log_param_steps and self.step % a.log_param_steps == 0:
+                    param_stats(self.model, extra_paths=self.extra_paths)
+                if a.eval_steps and self.step % a.eval_steps == 0 and self.eval_data is not None:
+                    self._do_eval()
+                    self.model.train()
+                if a.save_steps and self.step % a.save_steps == 0:
+                    self.save_checkpoint()
+                if self.step >= total_steps:
+                    done = True
+                    break
+            if not a.eval_steps and self.eval_data is not None and not done:
+                self._do_eval()
+                self.model.train()
+        self.model.eval()
+        metrics = {}
+        if self.eval_data is not None:
+            metrics = self._do_eval()
+        self.save_checkpoint(final=True)
+        if a.load_best_model_at_end and self.best_ckpt is not None:
+            self.load_checkpoint(self.best_ckpt)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def evaluate(self, eval_data: Optional[dict] = None) -> dict:
+        data = eval_data if eval_data is not None else self.eval_data
+        a = self.args
+        self.model.eval()
+        losses, counts = [], []
+        for batch, n_valid in self._batches(data, a.per_device_eval_batch_size,
+                                            shuffle=False):
+            batch.pop("_valid", None)
+            losses.append(float(self._eval_step(self.model, batch)))
+            counts.append(n_valid)
+        loss = float(np.average(losses, weights=counts)) if losses else float("nan")
+        metrics = {"eval_loss": round(loss, 5)}
+        if self.compute_metrics is not None:
+            extra = self.compute_metrics(self.model, data)
+            metrics.update({k if k.startswith("eval_") else f"eval_{k}": v
+                            for k, v in extra.items()})
+        return metrics
+
+    def _do_eval(self) -> dict:
+        metrics = self.evaluate()
+        metrics["step"] = self.step
+        self.log_history.append(metrics)
+        print(json.dumps(metrics))
+        a = self.args
+        key = a.metric_for_best_model if a.metric_for_best_model.startswith("eval_") \
+            else f"eval_{a.metric_for_best_model}"
+        if key in metrics and a.load_best_model_at_end:
+            val = metrics[key]
+            greater = a.greater_is_better
+            if greater is None:
+                greater = not key.endswith("loss")
+            better = (self.best_metric is None
+                      or (val > self.best_metric if greater else val < self.best_metric))
+            if better:
+                self.best_metric = val
+                self.best_ckpt = self.save_checkpoint(tag="best")
+        return metrics
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, tag: Optional[str] = None, final: bool = False) -> str:
+        return ckpt_lib.save(
+            self.args.output_dir, self.step, self.trainable,
+            nnx.state(self.optimizer),
+            tag=tag, save_total_limit=self.args.save_total_limit,
+            log_history=self.log_history, final=final)
+
+    def load_checkpoint(self, path: str):
+        trainable, opt_state, meta = ckpt_lib.load(
+            path, self.trainable, nnx.state(self.optimizer))
+        nnx.update(self.model, trainable)
+        nnx.update(self.optimizer, opt_state)
+        if meta.get("step"):
+            self.step = meta["step"]
+
+    def _maybe_resume(self):
+        last, completed = ckpt_lib.get_last_checkpoint(self.args.output_dir)
+        if last and not completed:
+            print(f"Resuming from {last}")
+            self.load_checkpoint(last)

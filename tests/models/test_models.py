@@ -1,0 +1,96 @@
+"""Tiny-model forward/shape/loss sanity for RoBERTa and Llama."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.models import (
+    LlamaConfig,
+    LlamaForCausalLM,
+    RobertaConfig,
+    RobertaForSequenceClassification,
+)
+from sparse_matrix_fine_tuning_tpu.models.llama import init_caches
+from sparse_matrix_fine_tuning_tpu.models.roberta import create_position_ids
+
+
+def test_roberta_forward_and_loss():
+    cfg = RobertaConfig.tiny()
+    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, cfg.vocab_size)
+    logits = model(ids)
+    assert logits.shape == (2, cfg.num_labels)
+    labels = jnp.array([0, 1])
+    loss = model.loss(logits, labels)
+    assert loss.shape == () and float(loss) > 0
+
+
+def test_roberta_position_ids():
+    ids = jnp.array([[5, 6, 1, 1], [7, 8, 9, 1]])  # pad_token_id = 1
+    pos = create_position_ids(ids, 1)
+    np.testing.assert_array_equal(np.asarray(pos), [[2, 3, 1, 1], [2, 3, 4, 1]])
+
+
+def test_roberta_mask_invariance():
+    # padded positions must not affect unpadded outputs
+    cfg = RobertaConfig.tiny()
+    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 2, cfg.vocab_size)
+    mask = jnp.ones((1, 8), jnp.int32)
+    full = model(ids, mask)
+    padded_ids = jnp.concatenate([ids, jnp.full((1, 4), cfg.pad_token_id)], axis=1)
+    padded_mask = jnp.concatenate([mask, jnp.zeros((1, 4), jnp.int32)], axis=1)
+    padded = model(padded_ids, padded_mask)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(padded), rtol=1e-4, atol=1e-5)
+
+
+def test_llama_forward_and_loss():
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 12), 0, cfg.vocab_size)
+    logits = model(ids)
+    assert logits.shape == (2, 12, cfg.vocab_size)
+    labels = ids.at[:, :4].set(-100)
+    loss = model.loss(logits, labels)
+    assert float(loss) > 0
+
+
+def test_llama_causality():
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 10), 0, cfg.vocab_size)
+    base = model(ids)
+    perturbed = ids.at[0, 7].set((ids[0, 7] + 1) % cfg.vocab_size)
+    out = model(perturbed)
+    # positions < 7 unaffected; position >= 7 changes
+    np.testing.assert_allclose(np.asarray(base[:, :7]), np.asarray(out[:, :7]),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.abs(base[:, 7:] - out[:, 7:]).max()) > 1e-4
+
+
+def test_llama_kv_cache_matches_full_forward():
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    T = 6
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, T), 0, cfg.vocab_size)
+    full_logits = model(ids)
+
+    caches = init_caches(cfg, 1, T, dtype=jnp.float32)
+    step_logits = []
+    for t in range(T):
+        mask = (jnp.arange(T) <= t).astype(jnp.int32)[None]
+        pos = jnp.array([[t]])
+        out, caches = model(ids[:, t:t+1], attention_mask=mask, positions=pos,
+                            caches=caches, cache_index=t)
+        step_logits.append(out[:, 0])
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(step_logits), np.asarray(full_logits),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_llama_gqa_heads():
+    cfg = LlamaConfig.tiny(num_key_value_heads=2, num_attention_heads=4)
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, cfg.vocab_size)
+    assert model(ids).shape == (2, 8, cfg.vocab_size)
