@@ -1,0 +1,271 @@
+"""GLUE fine-tuning harness (TPU-native).
+
+Usage (mirrors the reference CLI, reference run_glue.py:141-823):
+
+  python run_glue.py task_configs/monarch_roberta_glue/cola.json \
+      [--monarch=True] [--lora=False] [--do_tune=True] [--smoke=True] \
+      [--any_config_key=value ...]
+
+Pipeline: task JSON -> TrainingArgs/model args; peft_config.json from the
+config dir; free-form CLI overrides; tokenize GLUE (HF datasets when
+available, learnable synthetic data in zero-egress smoke mode); build
+RoBERTa (pretrained local dir or random init), inject Monarch/LoRA
+adapters; jit-train; evaluate (MNLI gets matched+mismatched); export GLUE
+test-set TSV predictions; optional ASHA-style HPO with best-HP persistence.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Run GLUE (TPU-native MoRe)")
+    p.add_argument("config_path", help="task config JSON path")
+    p.add_argument("--monarch", default=True, type=eval)
+    p.add_argument("--lora", default=False, type=eval)
+    p.add_argument("--do_tune", default=False, type=eval)
+    p.add_argument("--n_trials", default=8, type=int)
+    p.add_argument("--smoke", default=False, type=eval,
+                   help="synthetic data + tiny model (no pretrained weights)")
+    p.add_argument("--tune_blk_config", default=False, type=eval)
+    p.add_argument("--as_base_hp", default=False, type=eval)
+    p.add_argument("--resume", default=False, type=eval)
+    p.add_argument("--profile", action="store_true")
+    p.add_argument("--bf16_compute", default=False, type=eval)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) before backend init")
+    args, unknown = p.parse_known_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return args, unknown
+
+
+SMOKE_VOCAB = 1024  # smoke-mode tokenizer/model vocab (keeps tiny models learnable)
+
+
+@dataclasses.dataclass
+class DataArgs:
+    task_name: str = "cola"
+    model_name_or_path: str = "roberta-large"
+    max_seq_length: int = 128
+    do_train: bool = True
+    do_eval: bool = True
+    do_predict: bool = False
+
+
+def build_model(data_args, peft_config, num_labels, smoke, use_monarch, use_lora,
+                bf16=False, seed=0):
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models import (
+        RobertaConfig, RobertaForSequenceClassification)
+    from sparse_matrix_fine_tuning_tpu.peft import init_lora, init_monarch, param_stats
+
+    dtype = "bfloat16" if bf16 else None
+    path = data_args.model_name_or_path
+    if not smoke and os.path.isdir(path):
+        from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_roberta
+        model = from_pretrained_roberta(path, num_labels=num_labels, dtype=dtype,
+                                        rngs=nnx.Rngs(seed))
+    else:
+        if not smoke:
+            print(f"[run_glue] no local weights at {path!r}; using random init")
+        if smoke:
+            cfg = RobertaConfig.tiny(num_labels=num_labels, dtype=dtype,
+                                     vocab_size=SMOKE_VOCAB)
+        elif "large" in path:
+            cfg = RobertaConfig.large(num_labels=num_labels, dtype=dtype)
+        else:
+            cfg = RobertaConfig.base(num_labels=num_labels, dtype=dtype)
+        model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(seed))
+    if use_monarch:
+        adapted = init_monarch(model, peft_config, rngs=nnx.Rngs(seed + 1))
+        for name, dense_shape, s1, s2 in adapted[:3]:
+            print(f"Adapted {name} {dense_shape} -> {s1}, {s2}")
+        print(f"[run_glue] adapted {len(adapted)} layers with Monarch")
+    elif use_lora:
+        init_lora(model, peft_config, rngs=nnx.Rngs(seed + 1))
+    param_stats(model)
+    return model
+
+
+def glue_metrics_fn(task):
+    import jax.numpy as jnp
+    from sparse_matrix_fine_tuning_tpu.utils.metrics import glue_compute
+
+    def compute(model, data):
+        model.eval()
+        preds = []
+        bs = 64
+        n = len(data["input_ids"])
+        for s in range(0, n, bs):
+            logits = model(jnp.asarray(data["input_ids"][s:s + bs]),
+                           jnp.asarray(data["attention_mask"][s:s + bs]))
+            if logits.shape[-1] == 1:
+                preds.append(np.asarray(logits[:, 0]))
+            else:
+                preds.append(np.asarray(jnp.argmax(logits, -1)))
+        preds = np.concatenate(preds)
+        return glue_compute(task, preds, data["labels"])
+    return compute
+
+
+def predict_tsv(model, data, task, out_dir):
+    """GLUE-server-format TSV export (reference run_glue.py:789-816)."""
+    import jax.numpy as jnp
+    model.eval()
+    preds = []
+    n = len(data["input_ids"])
+    for s in range(0, n, 64):
+        logits = model(jnp.asarray(data["input_ids"][s:s + 64]),
+                       jnp.asarray(data["attention_mask"][s:s + 64]))
+        if logits.shape[-1] == 1:
+            preds.append(np.asarray(logits[:, 0]))
+        else:
+            preds.append(np.asarray(jnp.argmax(logits, -1)))
+    preds = np.concatenate(preds)
+    os.makedirs(out_dir, exist_ok=True)
+    name = {"cola": "CoLA", "sst2": "SST-2", "mrpc": "MRPC", "qqp": "QQP",
+            "stsb": "STS-B", "mnli": "MNLI-m", "qnli": "QNLI", "rte": "RTE",
+            "wnli": "WNLI"}.get(task, task)
+    path = os.path.join(out_dir, f"{name}.tsv")
+    with open(path, "w") as f:
+        f.write("index\tprediction\n")
+        for i, p in enumerate(preds):
+            f.write(f"{i}\t{p}\n")
+    print(f"[run_glue] wrote {path}")
+    return path
+
+
+def main():
+    args, overrides = parse_args()
+    from sparse_matrix_fine_tuning_tpu.data.glue import (
+        TASK_NUM_LABELS, load_glue_raw, tokenize_glue)
+    from sparse_matrix_fine_tuning_tpu.data.tokenizer import get_tokenizer
+    from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
+    from sparse_matrix_fine_tuning_tpu.training.hpo import (
+        choice, hyperparameter_search, loguniform, uniform)
+    from sparse_matrix_fine_tuning_tpu.utils.config import (
+        load_best_hp, load_json, override_config, save_best_hp)
+    from sparse_matrix_fine_tuning_tpu.utils.metrics import GLUE_TARGET_METRIC
+
+    task_cfg = load_json(args.config_path)
+    cfg_dir = os.path.dirname(args.config_path)
+    peft_path = os.path.join(cfg_dir, "peft_config.json")
+    peft_config = load_json(peft_path) if os.path.exists(peft_path) else {
+        "monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
+        "target_modules": ["query", "value", "key"]}
+
+    data_args = DataArgs(
+        task_name=task_cfg.get("task_name", "cola"),
+        model_name_or_path=task_cfg.get("model_name_or_path", "roberta-large"),
+        max_seq_length=task_cfg.get("max_seq_length", 128),
+        do_predict=task_cfg.get("do_predict", False))
+    train_args = TrainingArgs(
+        output_dir=task_cfg.get("output_dir", "results/glue"),
+        learning_rate=task_cfg.get("learning_rate", 3e-5),
+        num_train_epochs=task_cfg.get("num_train_epochs", 3),
+        per_device_train_batch_size=task_cfg.get("per_device_train_batch_size", 16),
+        weight_decay=task_cfg.get("weight_decay", 0.0),
+        warmup_ratio=task_cfg.get("warmup_ratio", 0.06),
+        lr_scheduler_type=task_cfg.get("lr_scheduler_type", "linear"),
+        logging_steps=task_cfg.get("logging_steps", 100),
+        eval_steps=task_cfg.get("eval_steps", 0),
+        save_steps=task_cfg.get("save_steps", 0),
+        save_total_limit=task_cfg.get("save_total_limit", 1),
+        load_best_model_at_end=task_cfg.get("load_best_model_at_end", False),
+        seed=task_cfg.get("seed", 42))
+    extra = override_config([data_args, train_args, peft_config], overrides)
+    if extra:
+        print(f"[run_glue] unmatched overrides: {extra}")
+    task = data_args.task_name
+    train_args.output_dir = os.path.join(train_args.output_dir, task)
+    train_args.metric_for_best_model = GLUE_TARGET_METRIC[task]
+    train_args.greater_is_better = True
+    train_args.use_scaler = bool(peft_config.get("scaler", False))
+    train_args.large_lr = bool(peft_config.get("large_lr", False))
+    train_args.new_lr = float(peft_config.get("new_lr", 5e-3))
+
+    num_labels = TASK_NUM_LABELS[task]
+    if args.smoke:
+        from sparse_matrix_fine_tuning_tpu.data.tokenizer import SimpleTokenizer
+        tokenizer = SimpleTokenizer(vocab_size=SMOKE_VOCAB)
+    else:
+        tokenizer = get_tokenizer(data_args.model_name_or_path)
+    raw = load_glue_raw(task, smoke=args.smoke)
+    data = tokenize_glue(task, raw, tokenizer, data_args.max_seq_length)
+    val_key = "validation_matched" if task == "mnli" else "validation"
+
+    def make_trainer(hp=None, epochs=None):
+        ta = dataclasses.replace(train_args)
+        pc = dict(peft_config)
+        if hp:
+            override_config([ta, pc], hp)
+        if epochs is not None:
+            ta.num_train_epochs = epochs
+        model = build_model(data_args, pc, num_labels, args.smoke,
+                            args.monarch, args.lora, bf16=args.bf16_compute,
+                            seed=ta.seed)
+        return Trainer(model, ta, train_data=data["train"],
+                       eval_data=data[val_key],
+                       compute_metrics=glue_metrics_fn(task))
+
+    target = f"eval_{GLUE_TARGET_METRIC[task]}"
+
+    if args.do_tune:
+        space = {
+            "learning_rate": loguniform(1e-5, 1e-3),
+            "weight_decay": loguniform(1e-4, 1e-1),
+            "lr_scheduler_type": choice(["linear", "cosine"]),
+        }
+        if args.tune_blk_config:
+            space["blk_r"] = choice([2, 4, 8, 16])
+            space["nblocks"] = choice([2, 4, 8])
+
+        def run_trial(hp, epochs):
+            t = make_trainer(hp, epochs)
+            t.train()
+            return t.evaluate()
+
+        result = hyperparameter_search(
+            run_trial, space, n_trials=args.n_trials, target_metric=target,
+            mode="max", max_epochs=float(train_args.num_train_epochs))
+        best = result["best_hyperparams"]
+        save_best_hp(best, train_args.output_dir,
+                     cfg_dir if args.as_base_hp else None)
+        print(json.dumps({"best_hyperparams": best,
+                          "best_metric": result["best_metric"]}))
+        hp = best
+    else:
+        hp = load_best_hp(train_args.output_dir, cfg_dir)
+
+    trainer = make_trainer(hp)
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(os.path.join(train_args.output_dir, "profile"))
+    metrics = trainer.train(resume=args.resume)
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+    results = {f"{task}": metrics}
+    if task == "mnli" and "validation_mismatched" in data:
+        mm = trainer.evaluate(data["validation_mismatched"])
+        results["mnli-mm"] = mm
+    if data_args.do_predict:
+        test_key = "test_matched" if task == "mnli" else "test"
+        if test_key in data:
+            predict_tsv(trainer.model, data[test_key], task,
+                        os.path.join(train_args.output_dir, "predict"))
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

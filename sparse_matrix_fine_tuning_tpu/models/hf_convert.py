@@ -1,0 +1,144 @@
+"""Load HF (PyTorch) checkpoints into the TPU-native NNX models.
+
+The reference fine-tunes stock HF roberta-large / deberta-v3 / Llama-2-7b
+(run_glue.py:376-382, loreft/train.py:116-123); here the pretrained weights
+are converted tensor-by-tensor into the NNX modules (Linear kernels are
+transposed: torch stores (out, in), flax stores (in, out)).
+
+Accepts either a live ``transformers`` model / state_dict or a local
+checkpoint directory (pytorch_model.bin / model.safetensors).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t)
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a state dict from an HF checkpoint dir."""
+    st_path = os.path.join(path, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+        return load_file(st_path)
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    if os.path.exists(bin_path):
+        import torch
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: _np(v) for k, v in sd.items()}
+    raise FileNotFoundError(f"no checkpoint found under {path}")
+
+
+def _set_linear(mod, sd, prefix):
+    mod.kernel.value = jnp.asarray(_np(sd[prefix + ".weight"]).T)
+    if prefix + ".bias" in sd and mod.bias is not None:
+        mod.bias.value = jnp.asarray(_np(sd[prefix + ".bias"]))
+
+
+def _set_ln(mod, sd, prefix):
+    mod.scale.value = jnp.asarray(_np(sd[prefix + ".weight"]))
+    if prefix + ".bias" in sd and getattr(mod, "bias", None) is not None:
+        mod.bias.value = jnp.asarray(_np(sd[prefix + ".bias"]))
+
+
+def _set_embed(mod, sd, key):
+    mod.embedding.value = jnp.asarray(_np(sd[key]))
+
+
+def load_roberta(model, state_dict: Dict) -> None:
+    """Populate a RobertaForSequenceClassification (or its .roberta) from an
+    HF ``roberta-*`` state dict, in place."""
+    sd = {k.removeprefix("roberta."): v for k, v in state_dict.items()}
+    rob = model.roberta if hasattr(model, "roberta") else model
+    emb = rob.embeddings
+    _set_embed(emb.word_embeddings, sd, "embeddings.word_embeddings.weight")
+    _set_embed(emb.position_embeddings, sd, "embeddings.position_embeddings.weight")
+    _set_embed(emb.token_type_embeddings, sd, "embeddings.token_type_embeddings.weight")
+    _set_ln(emb.LayerNorm, sd, "embeddings.LayerNorm")
+    for i, lyr in enumerate(rob.layer):
+        p = f"encoder.layer.{i}"
+        _set_linear(lyr.attention.self.query, sd, f"{p}.attention.self.query")
+        _set_linear(lyr.attention.self.key, sd, f"{p}.attention.self.key")
+        _set_linear(lyr.attention.self.value, sd, f"{p}.attention.self.value")
+        _set_linear(lyr.attention.output.dense, sd, f"{p}.attention.output.dense")
+        _set_ln(lyr.attention.output.LayerNorm, sd, f"{p}.attention.output.LayerNorm")
+        _set_linear(lyr.intermediate.dense, sd, f"{p}.intermediate.dense")
+        _set_linear(lyr.output.dense, sd, f"{p}.output.dense")
+        _set_ln(lyr.output.LayerNorm, sd, f"{p}.output.LayerNorm")
+    if hasattr(model, "classifier") and "classifier.dense.weight" in state_dict:
+        _set_linear(model.classifier.dense, state_dict, "classifier.dense")
+        _set_linear(model.classifier.out_proj, state_dict, "classifier.out_proj")
+
+
+def load_llama(model, state_dict: Dict) -> None:
+    """Populate a LlamaForCausalLM from an HF ``llama`` state dict."""
+    sd = state_dict
+    _set_embed(model.model.embed_tokens, sd, "model.embed_tokens.weight")
+    for i, lyr in enumerate(model.model.layers):
+        p = f"model.layers.{i}"
+        _set_linear(lyr.self_attn.q_proj, sd, f"{p}.self_attn.q_proj")
+        _set_linear(lyr.self_attn.k_proj, sd, f"{p}.self_attn.k_proj")
+        _set_linear(lyr.self_attn.v_proj, sd, f"{p}.self_attn.v_proj")
+        _set_linear(lyr.self_attn.o_proj, sd, f"{p}.self_attn.o_proj")
+        _set_linear(lyr.mlp.gate_proj, sd, f"{p}.mlp.gate_proj")
+        _set_linear(lyr.mlp.up_proj, sd, f"{p}.mlp.up_proj")
+        _set_linear(lyr.mlp.down_proj, sd, f"{p}.mlp.down_proj")
+        _set_ln(lyr.input_layernorm, sd, f"{p}.input_layernorm")
+        _set_ln(lyr.post_attention_layernorm, sd, f"{p}.post_attention_layernorm")
+    _set_ln(model.model.norm, sd, "model.norm")
+    if model.lm_head is not None and "lm_head.weight" in sd:
+        _set_linear(model.lm_head, sd, "lm_head")
+
+
+def from_pretrained_roberta(path: str, num_labels: int = 2, dtype=None, *, rngs=None):
+    """Build + load a RobertaForSequenceClassification from a local HF dir."""
+    import json
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models import (
+        RobertaConfig, RobertaForSequenceClassification)
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = RobertaConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 1),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+        pad_token_id=hf.get("pad_token_id", 1),
+        num_labels=num_labels, dtype=dtype)
+    model = RobertaForSequenceClassification(cfg, rngs=rngs or nnx.Rngs(0))
+    load_roberta(model, load_state_dict(path))
+    return model
+
+
+def from_pretrained_llama(path: str, dtype="bfloat16", *, rngs=None):
+    import json
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = LlamaConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads"),
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        dtype=dtype)
+    model = LlamaForCausalLM(cfg, rngs=rngs or nnx.Rngs(0))
+    load_llama(model, load_state_dict(path))
+    return model

@@ -1,0 +1,100 @@
+"""ASHA-style hyper-parameter search.
+
+The reference wires Ray Tune's ASHAScheduler into every harness
+(run_glue.py:571-686, loreft/train.py:504-583, qlora_monarch.py:720-786).
+On a TPU pod slice the natural equivalent is in-process successive halving:
+sample N configs, train each at the smallest budget, keep the top 1/eta at
+each rung, grow the budget by eta -- trial-level parallelism across hosts
+can shard the trial list.  Trials are independent processes in Ray; here
+each trial is a fresh Trainer (failures tolerated, mirroring
+``max_failures`` -- run_glue.py:673).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import traceback
+from typing import Callable, Dict, List
+
+import numpy as np
+
+
+def loguniform(low: float, high: float):
+    return ("loguniform", low, high)
+
+
+def uniform(low: float, high: float):
+    return ("uniform", low, high)
+
+
+def choice(options):
+    return ("choice", list(options))
+
+
+def _sample(space: dict, rng: np.random.Generator) -> dict:
+    hp = {}
+    for k, spec in space.items():
+        kind = spec[0]
+        if kind == "loguniform":
+            hp[k] = float(np.exp(rng.uniform(np.log(spec[1]), np.log(spec[2]))))
+        elif kind == "uniform":
+            hp[k] = float(rng.uniform(spec[1], spec[2]))
+        elif kind == "choice":
+            hp[k] = spec[1][int(rng.integers(len(spec[1])))]
+        else:
+            raise ValueError(f"unknown spec {spec}")
+    return hp
+
+
+def hyperparameter_search(
+    run_trial: Callable[[dict, float], dict],
+    search_space: dict,
+    *,
+    n_trials: int = 8,
+    target_metric: str = "eval_loss",
+    mode: str = "min",
+    eta: int = 3,
+    min_epochs: float = 1.0,
+    max_epochs: float = 4.0,
+    seed: int = 0,
+) -> dict:
+    """Successive-halving search.
+
+    Args:
+      run_trial: (hyperparams, num_epochs) -> metrics dict.  Exceptions are
+        tolerated (trial scored worst), like Ray's max_failures.
+    Returns {"best_hyperparams", "best_metric", "trials"}.
+    """
+    rng = np.random.default_rng(seed)
+    trials = [{"hp": _sample(search_space, rng), "id": i} for i in range(n_trials)]
+    worst = -math.inf if mode == "max" else math.inf
+    sign = 1 if mode == "max" else -1
+    budget = min_epochs
+    history: List[dict] = []
+    alive = trials
+    while alive:
+        scored = []
+        for t in alive:
+            try:
+                metrics = run_trial(dict(t["hp"]), budget)
+                val = metrics.get(target_metric, worst)
+            except Exception as e:
+                print(f"[hpo] trial {t['id']} failed: {type(e).__name__}: {e}")
+                traceback.print_exc()
+                metrics, val = {}, worst
+            rec = {"id": t["id"], "hp": t["hp"], "epochs": budget,
+                   target_metric: val}
+            history.append(rec)
+            print(f"[hpo] {json.dumps(rec)}")
+            scored.append((sign * (val if val == val else worst), t))
+        scored.sort(key=lambda x: -x[0])
+        keep = max(1, len(scored) // eta)
+        if len(alive) == 1 or budget >= max_epochs:
+            best = scored[0][1]
+            best_val = sign * scored[0][0]
+            return {"best_hyperparams": best["hp"], "best_metric": best_val,
+                    "trials": history}
+        alive = [t for _, t in scored[:keep]]
+        budget = min(budget * eta, max_epochs)
+    raise RuntimeError("no trials ran")

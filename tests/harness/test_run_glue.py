@@ -1,0 +1,51 @@
+"""GLUE harness smoke: end-to-end learn on synthetic data + HPO path."""
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+
+def _run(tmp_path, extra, task="cola"):
+    import run_glue
+    argv = ["run_glue.py",
+            os.path.join(REPO, f"task_configs/monarch_roberta_glue/{task}.json"),
+            "--smoke=True", f"--output_dir={tmp_path}/", "--save_steps=0",
+            "--eval_steps=0", "--logging_steps=0", "--load_best_model_at_end=False",
+            ] + extra
+    old = sys.argv
+    sys.argv = argv
+    try:
+        return run_glue.main()
+    finally:
+        sys.argv = old
+
+
+def test_cola_smoke_learns(tmp_path):
+    results = _run(tmp_path, ["--num_train_epochs=8", "--learning_rate=0.005",
+                              "--do_predict=True"])
+    assert results["cola"]["eval_matthews_correlation"] > 0.5
+    tsv = os.path.join(str(tmp_path), "cola", "predict", "CoLA.tsv")
+    assert os.path.exists(tsv)
+    with open(tsv) as f:
+        assert f.readline().strip() == "index\tprediction"
+
+
+def test_stsb_regression_smoke(tmp_path):
+    import math
+    results = _run(tmp_path, ["--num_train_epochs=6", "--learning_rate=0.005"],
+                   task="stsb")
+    # regression head runs and produces a finite pearson
+    assert math.isfinite(results["stsb"]["eval_pearson"])
+
+
+def test_hpo_smoke(tmp_path):
+    _run(tmp_path, ["--do_tune=True", "--n_trials=2", "--num_train_epochs=1"])
+    best = os.path.join(str(tmp_path), "cola", "best_hyperparams.json")
+    assert os.path.exists(best)
+    hp = json.load(open(best))
+    assert "learning_rate" in hp

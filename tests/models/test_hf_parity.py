@@ -1,0 +1,68 @@
+"""Numerical parity of the NNX models vs HF transformers (torch, CPU).
+
+Tiny random HF models are instantiated offline from config, converted via
+hf_convert, and logits compared -- validating both the architecture and the
+weight mapping without any network access.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.models import (
+    LlamaConfig,
+    LlamaForCausalLM,
+    RobertaConfig,
+    RobertaForSequenceClassification,
+)
+from sparse_matrix_fine_tuning_tpu.models.hf_convert import load_llama, load_roberta
+
+
+def test_roberta_matches_hf():
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+        num_labels=3, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf_model = transformers.RobertaForSequenceClassification(hf_cfg).eval()
+
+    cfg = RobertaConfig.tiny(num_labels=3, hidden_dropout_prob=0.0,
+                             attention_probs_dropout_prob=0.0)
+    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    load_roberta(model, {k: v for k, v in hf_model.state_dict().items()})
+    model.eval()
+
+    ids = np.random.default_rng(0).integers(2, 128, size=(2, 10))
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        hf_out = hf_model(input_ids=torch.tensor(ids),
+                          attention_mask=torch.tensor(mask)).logits.numpy()
+    ours = np.asarray(model(jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, hf_out, rtol=2e-3, atol=2e-3)
+
+
+def test_llama_matches_hf():
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=128, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    load_llama(model, {k: v for k, v in hf_model.state_dict().items()})
+    model.eval()
+
+    ids = np.random.default_rng(1).integers(2, 256, size=(2, 12))
+    with torch.no_grad():
+        hf_out = hf_model(input_ids=torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(model(jnp.asarray(ids)))
+    np.testing.assert_allclose(ours, hf_out, rtol=3e-3, atol=3e-3)
