@@ -1,0 +1,214 @@
+"""Reasoning / instruction fine-tuning harness (commonsense, math, gsm8k, alpaca).
+
+TPU-native equivalent of the reference's loreft training script
+(reference pyreft/loreft/train.py:71-743):
+
+  python run_reasoning.py -task math -model <local-llama-dir> \
+      -p f7+l7 -e 12 -lr 5e-4 -batch_size 2 -gradient_accumulation_steps 16 \
+      [--blk_r=8] [--all_linear=True] [--smoke=True] [--do_tune=True]
+
+Builds Llama (local HF checkpoint or a tiny random model in smoke mode),
+injects Monarch adapters over the attention+MLP projections, trains with
+the masked causal-LM loss, then runs generation-based exact-match eval over
+every eval dataset of the task (greedy or beam-4, reference
+compute_metrics.py:99-267).
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SMOKE_VOCAB = 1024
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Reasoning fine-tuning (TPU-native MoRe)")
+    p.add_argument("-task", "--task", default="math",
+                   choices=["commonsense", "math", "alpaca", "gsm8k",
+                            "tune_math", "tune_commonsense"])
+    p.add_argument("-model", "--model", default="llama-2-7b")
+    p.add_argument("-data_dir", "--data_dir", default="dataset")
+    p.add_argument("-seed", "--seed", default=42, type=int)
+    p.add_argument("-p", "--position", default="f7+l7")
+    p.add_argument("-e", "--epochs", default=3.0, type=float)
+    p.add_argument("-lr", "--lr", default=5e-4, type=float)
+    p.add_argument("-batch_size", "--batch_size", default=2, type=int)
+    p.add_argument("-eval_batch_size", "--eval_batch_size", default=8, type=int)
+    p.add_argument("-gradient_accumulation_steps", "--gradient_accumulation_steps",
+                   default=16, type=int)
+    p.add_argument("-max_length", "--max_length", default=512, type=int)
+    p.add_argument("-max_n_train_example", "--max_n_train_example", default=None, type=int)
+    p.add_argument("-max_n_eval_example", "--max_n_eval_example", default=None, type=int)
+    p.add_argument("--schedule", default="linear")
+    p.add_argument("--warmup_ratio", default=0.06, type=float)
+    p.add_argument("--weight_decay", default=0.0, type=float)
+    p.add_argument("--dropout", default=None, type=float)
+    p.add_argument("--greedy_decoding", default=True, type=eval)
+    p.add_argument("--all_linear", default=True, type=eval)
+    p.add_argument("--do_tune", default=False, type=eval)
+    p.add_argument("--n_trials", default=6, type=int)
+    p.add_argument("--smoke", default=False, type=eval)
+    p.add_argument("--output_dir", default="results/reasoning")
+    p.add_argument("--logging_steps", default=10, type=int)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--mesh_fsdp", default=0, type=int,
+                   help="FSDP-shard the frozen base over this many devices")
+    args, unknown = p.parse_known_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return args, unknown
+
+
+def build_model(args, peft_config):
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+    from sparse_matrix_fine_tuning_tpu.peft import init_monarch, param_stats
+
+    if not args.smoke and os.path.isdir(args.model):
+        from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_llama
+        model = from_pretrained_llama(args.model, dtype="bfloat16",
+                                      rngs=nnx.Rngs(args.seed))
+    else:
+        if not args.smoke:
+            print(f"[reasoning] no local weights at {args.model!r}; random tiny init")
+        cfg = LlamaConfig.tiny(vocab_size=SMOKE_VOCAB, hidden_size=128,
+                               num_hidden_layers=2, num_attention_heads=4,
+                               num_key_value_heads=2, intermediate_size=256,
+                               max_position_embeddings=1024)
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(args.seed))
+    if not args.all_linear:
+        peft_config = dict(peft_config,
+                           target_modules=["q_proj", "k_proj", "v_proj", "o_proj"])
+    adapted = init_monarch(model, peft_config, rngs=nnx.Rngs(args.seed + 1))
+    print(f"[reasoning] adapted {len(adapted)} layers with Monarch")
+    param_stats(model)
+    return model
+
+
+def main():
+    args, overrides = parse_args()
+    import numpy as np
+    from sparse_matrix_fine_tuning_tpu.data.reasoning import (
+        TASK_CONFIG, load_data_items, tokenize_reasoning)
+    from sparse_matrix_fine_tuning_tpu.data.tokenizer import SimpleTokenizer, get_tokenizer
+    from sparse_matrix_fine_tuning_tpu.evaluation import compute_reasoning_metrics
+    from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
+    from sparse_matrix_fine_tuning_tpu.training.hpo import (
+        choice, hyperparameter_search, loguniform)
+    from sparse_matrix_fine_tuning_tpu.utils.config import (
+        load_best_hp, load_json, override_config, save_best_hp)
+
+    peft_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "task_configs", "llama", "peft_config.json")
+    peft_config = load_json(peft_path)
+    if args.dropout is not None:
+        peft_config["dropout"] = args.dropout
+    extra = override_config([peft_config, args], overrides)
+    if extra:
+        print(f"[reasoning] unmatched overrides: {extra}")
+
+    task = args.task
+    tcfg = TASK_CONFIG[task]
+    out_dir = os.path.join(args.output_dir, task)
+
+    if args.smoke:
+        tokenizer = SimpleTokenizer(vocab_size=SMOKE_VOCAB)
+    else:
+        tokenizer = get_tokenizer(args.model, vocab_size=32000)
+
+    train_items = load_data_items(
+        task, tcfg["train_datasets"][0], args.data_dir, split="train",
+        max_n_example=args.max_n_train_example, seed=args.seed, smoke=args.smoke)
+    train_data = tokenize_reasoning(task, train_items, tokenizer,
+                                    max_length=args.max_length, split="train",
+                                    position=args.position)
+    train_data = {k: v for k, v in train_data.items()
+                  if k in ("input_ids", "attention_mask", "labels")}
+
+    def lm_loss(model, batch, train):
+        logits = model(batch["input_ids"], attention_mask=batch["attention_mask"])
+        return model.loss(logits, batch["labels"])
+
+    def make_trainer(hp=None, epochs=None):
+        pc = dict(peft_config)
+        ta = TrainingArgs(
+            output_dir=out_dir, learning_rate=args.lr,
+            num_train_epochs=epochs if epochs is not None else args.epochs,
+            per_device_train_batch_size=args.batch_size,
+            per_device_eval_batch_size=args.eval_batch_size,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            weight_decay=args.weight_decay, warmup_ratio=args.warmup_ratio,
+            lr_scheduler_type=args.schedule, logging_steps=args.logging_steps,
+            log_param_steps=0, seed=args.seed)
+        if hp:
+            override_config([ta, pc], hp)
+        model = build_model(args, pc)
+        mesh = None
+        if args.mesh_fsdp:
+            from sparse_matrix_fine_tuning_tpu.parallel import make_mesh
+            mesh = make_mesh(fsdp=args.mesh_fsdp)
+        return Trainer(model, ta, train_data=train_data, loss_fn=lm_loss, mesh=mesh)
+
+    def eval_all(model, greedy=True, max_new=None):
+        results = {}
+        all_gen = []
+        for ds in tcfg["eval_datasets"]:
+            items = load_data_items(task, ds, args.data_dir, split="test",
+                                    is_eval=True,
+                                    max_n_example=args.max_n_eval_example,
+                                    seed=args.seed, smoke=args.smoke)
+            eval_data = tokenize_reasoning(task, items, tokenizer,
+                                           max_length=args.max_length,
+                                           split="test", position=args.position)
+            gens, metrics = compute_reasoning_metrics(
+                task, ds, model, tokenizer, eval_data, items,
+                batch_size=args.eval_batch_size, greedy_decoding=greedy,
+                max_new_tokens=max_new)
+            results.update(metrics)
+            all_gen.extend(gens)
+        if results:
+            results["eval/average"] = float(np.mean(list(results.values())))
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "generations.json"), "w") as f:
+            json.dump(all_gen[:200], f, indent=1)
+        return results
+
+    smoke_new = 8 if args.smoke else None
+
+    if args.do_tune:
+        space = {"learning_rate": loguniform(5e-5, 1e-3),
+                 "blk_r": choice([2, 4, 8]), "nblocks": choice([2, 4])}
+
+        def run_trial(hp, epochs):
+            t = make_trainer(hp, epochs)
+            t.train()
+            return eval_all(t.model, greedy=True, max_new=smoke_new)
+
+        result = hyperparameter_search(
+            run_trial, space, n_trials=args.n_trials,
+            target_metric="eval/average", mode="max",
+            max_epochs=float(args.epochs))
+        save_best_hp(result["best_hyperparams"], out_dir)
+        hp = result["best_hyperparams"]
+        print(json.dumps({"best_hyperparams": hp,
+                          "best_metric": result["best_metric"]}))
+    else:
+        hp = load_best_hp(out_dir)
+
+    trainer = make_trainer(hp)
+    trainer.train()
+    results = eval_all(trainer.model, greedy=args.greedy_decoding,
+                       max_new=smoke_new)
+    print(json.dumps(results))
+    with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    return results
+
+
+if __name__ == "__main__":
+    main()

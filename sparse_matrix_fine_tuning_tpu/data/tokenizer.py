@@ -29,13 +29,20 @@ class SimpleTokenizer:
 
     def __init__(self, vocab_size: int = 50265):
         self.vocab_size = vocab_size
+        self._id_to_word: dict[int, str] = {}
 
     def _tok(self, word: str) -> int:
         h = int.from_bytes(hashlib.md5(word.lower().encode()).digest()[:4], "little")
-        return self._n_special + h % (self.vocab_size - self._n_special)
+        tid = self._n_special + h % (self.vocab_size - self._n_special)
+        self._id_to_word.setdefault(tid, word.lower())
+        return tid
 
     def tokenize_ids(self, text: str) -> list[int]:
         return [self._tok(w) for w in _WORD_RE.findall(text)]
+
+    def encode_ids(self, text: str, add_bos: bool = True) -> list[int]:
+        ids = self.tokenize_ids(text)
+        return ([self.bos_token_id] + ids) if add_bos else ids
 
     def encode(self, text: str, text_pair: Optional[str] = None,
                max_length: int = 128):
@@ -59,9 +66,19 @@ class SimpleTokenizer:
         return np.asarray(out_ids, np.int32), np.asarray(out_mask, np.int32)
 
     def decode(self, ids) -> str:
-        # hash tokenizer is not invertible; emit placeholder tokens
-        return " ".join(f"<{i}>" for i in ids
-                        if i not in (self.bos_token_id, self.pad_token_id, self.eos_token_id))
+        # invertible for words seen during encoding (sufficient for smoke
+        # evals); unknown ids render as placeholders
+        words = []
+        for i in ids:
+            i = int(i)
+            if i in (self.bos_token_id, self.pad_token_id, self.eos_token_id):
+                continue
+            words.append(self._id_to_word.get(i, f"<{i}>"))
+        return " ".join(words)
+
+    @property
+    def eos_token(self) -> str:
+        return "</s>"
 
 
 class HFTokenizerWrapper:
@@ -77,6 +94,9 @@ class HFTokenizerWrapper:
                        padding="max_length", truncation=True, max_length=max_length)
         return (np.asarray(enc["input_ids"], np.int32),
                 np.asarray(enc["attention_mask"], np.int32))
+
+    def encode_ids(self, text: str, add_bos: bool = True) -> list[int]:
+        return self.tok(text, add_special_tokens=add_bos)["input_ids"]
 
     def decode(self, ids) -> str:
         return self.tok.decode([int(i) for i in ids], skip_special_tokens=True)

@@ -1,0 +1,203 @@
+"""Autoregressive generation: greedy, sampling, and beam search.
+
+TPU-native decode loop: prompt prefill fills a fixed-size KV cache in one
+pass, then a jitted ``lax.scan`` emits one token per step with static
+shapes throughout (the reference gets decoding from HF ``generate``;
+SURVEY.md section 7 lists the scan+kv-cache loop as a hard part).
+
+Inputs are LEFT-padded (the reference flips padding_side for generation,
+compute_metrics.py:118); positions derive from the attention mask so RoPE
+sees contiguous positions regardless of padding.
+
+Beam search follows HF semantics for the reasoning evals (beam 4,
+early_stopping, length-normalised scores -- task_config generation_args).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.models.llama import init_caches
+
+Array = jax.Array
+
+NEG = -1e9
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    max_new_tokens: int = 32
+    eos_token_id: Optional[int] = 2
+    pad_token_id: int = 0
+    num_beams: int = 1
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    length_penalty: float = 1.0
+
+
+def _positions_from_mask(mask: Array) -> Array:
+    return jnp.maximum(jnp.cumsum(mask, axis=-1) - 1, 0)
+
+
+def _sample_logits(logits, key, cfg: GenerationConfig):
+    logits = logits.astype(jnp.float32)
+    if not cfg.do_sample:
+        return jnp.argmax(logits, -1)
+    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    if cfg.top_k and cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -cfg.top_k][..., None]
+        logits = jnp.where(logits < kth, NEG, logits)
+    if cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, -1)
+        cum = jnp.cumsum(probs, -1)
+        cutoff_idx = jnp.sum(cum < cfg.top_p, -1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, -1)
+        logits = jnp.where(logits < cutoff, NEG, logits)
+    return jax.random.categorical(key, logits, -1)
+
+
+def generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
+             rng: Optional[Array] = None):
+    """Generate continuations.  input_ids/attention_mask: (B, T) LEFT-padded.
+
+    Returns (B, T + max_new_tokens) sequences (prompt + generation, padded
+    with pad_token_id after EOS).
+    """
+    if gen_config.num_beams > 1:
+        return beam_generate(model, input_ids, attention_mask, gen_config)
+    cfg = gen_config
+    graphdef, state = nnx.split(model)
+    b, t = input_ids.shape
+    total = t + cfg.max_new_tokens
+    mcfg = model.config
+    dtype = mcfg.compute_dtype or jnp.float32
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(state, input_ids, attention_mask, rng):
+        m = nnx.merge(graphdef, state)
+        caches = init_caches(mcfg, b, total, dtype)
+        mask_full = jnp.concatenate(
+            [attention_mask, jnp.zeros((b, total - t), attention_mask.dtype)], -1)
+        positions = _positions_from_mask(attention_mask)
+        logits, caches = m(input_ids, attention_mask=mask_full, positions=positions,
+                           caches=caches, cache_index=0)
+        last_logit = logits[:, -1]
+        next_pos = positions[:, -1] + 1  # (b,)
+
+        def step(carry, i):
+            caches, mask_full, last_logit, pos, finished, rng = carry
+            rng, key = jax.random.split(rng)
+            tok = _sample_logits(last_logit, key, cfg)
+            tok = jnp.where(finished, cfg.pad_token_id, tok)
+            if cfg.eos_token_id is not None:
+                finished = finished | (tok == cfg.eos_token_id)
+            # mark the slot we are about to write as attendable
+            slot = t + i
+            mask_full = mask_full.at[:, slot].set(1)
+            logits, caches = m(tok[:, None], attention_mask=mask_full,
+                               positions=pos[:, None], caches=caches,
+                               cache_index=slot)
+            return (caches, mask_full, logits[:, 0], pos + 1, finished, rng), tok
+
+        finished = jnp.zeros((b,), bool)
+        (_, _, _, _, _, _), toks = jax.lax.scan(
+            step, (caches, mask_full, last_logit, next_pos, finished, rng),
+            jnp.arange(cfg.max_new_tokens))
+        return toks.T  # (b, max_new)
+
+    toks = run(state, jnp.asarray(input_ids), jnp.asarray(attention_mask), rng)
+    return jnp.concatenate([jnp.asarray(input_ids), toks], axis=-1)
+
+
+def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig):
+    """Beam search with early stopping and length-normalised scoring."""
+    cfg = gen_config
+    K = cfg.num_beams
+    graphdef, state = nnx.split(model)
+    b, t = input_ids.shape
+    total = t + cfg.max_new_tokens
+    mcfg = model.config
+    dtype = mcfg.compute_dtype or jnp.float32
+
+    @jax.jit
+    def run(state, input_ids, attention_mask):
+        m = nnx.merge(graphdef, state)
+        bk = b * K
+
+        def expand(x):  # (b, ...) -> (b*K, ...)
+            return jnp.repeat(x, K, axis=0)
+
+        ids_k = expand(input_ids)
+        mask_k = expand(attention_mask)
+        caches = init_caches(mcfg, bk, total, dtype)
+        mask_full = jnp.concatenate(
+            [mask_k, jnp.zeros((bk, total - t), mask_k.dtype)], -1)
+        positions = _positions_from_mask(mask_k)
+        logits, caches = m(ids_k, attention_mask=mask_full, positions=positions,
+                           caches=caches, cache_index=0)
+        last_logit = logits[:, -1]
+        next_pos = positions[:, -1] + 1
+
+        # beam 0 active, others -inf so the first step picks K distinct tokens
+        beam_scores = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1)), (b,))  # (b*K,)
+        finished = jnp.zeros((bk,), bool)
+        out_toks = jnp.full((bk, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
+
+        def step(carry, i):
+            caches, mask_full, last_logit, pos, beam_scores, finished, out_toks = carry
+            logp = jax.nn.log_softmax(last_logit.astype(jnp.float32), -1)  # (bk, V)
+            V = logp.shape[-1]
+            # finished beams only extend with pad at no cost
+            pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
+            logp = jnp.where(finished[:, None], pad_only[None], logp)
+            cand = beam_scores[:, None] + logp  # (bk, V)
+            cand = cand.reshape(b, K * V)
+            top_scores, top_idx = jax.lax.top_k(cand, K)  # (b, K)
+            src_beam = top_idx // V            # (b, K) which beam it came from
+            tok = (top_idx % V).astype(jnp.int32)
+            flat_src = (jnp.arange(b)[:, None] * K + src_beam).reshape(-1)  # (bk,)
+
+            def gather(x):
+                return jnp.take(x, flat_src, axis=0)
+
+            caches = jax.tree.map(gather, caches)
+            mask_full = gather(mask_full)
+            pos = gather(pos)
+            finished = gather(finished)
+            out_toks = gather(out_toks)
+            tok_flat = tok.reshape(-1)
+            out_toks = out_toks.at[:, i].set(tok_flat)
+            beam_scores = top_scores.reshape(-1)
+            if cfg.eos_token_id is not None:
+                finished = finished | (tok_flat == cfg.eos_token_id)
+            slot = t + i
+            mask_full = mask_full.at[:, slot].set(1)
+            logits, caches = m(tok_flat[:, None], attention_mask=mask_full,
+                               positions=pos[:, None], caches=caches,
+                               cache_index=slot)
+            return (caches, mask_full, logits[:, 0], pos + 1, beam_scores,
+                    finished, out_toks), None
+
+        carry = (caches, mask_full, last_logit, next_pos, beam_scores,
+                 finished, out_toks)
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(cfg.max_new_tokens))
+        _, _, _, _, beam_scores, finished, out_toks = carry
+        # length-normalised selection of the best beam per example
+        lengths = jnp.sum(out_toks != cfg.pad_token_id, -1).clip(1)
+        norm = beam_scores / (lengths.astype(jnp.float32) ** cfg.length_penalty)
+        best = jnp.argmax(norm.reshape(b, K), -1)  # (b,)
+        out = out_toks.reshape(b, K, -1)[jnp.arange(b), best]
+        return out
+
+    toks = run(state, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+    return jnp.concatenate([jnp.asarray(input_ids), toks], axis=-1)

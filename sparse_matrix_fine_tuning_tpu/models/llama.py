@@ -146,9 +146,15 @@ class LlamaModel(nnx.Module):
             for lyr in self.layers:
                 x, _ = lyr(x, bias, positions)
         else:
-            # decode step over a fixed-size cache; attention_mask (b, cache_len)
-            bias = (1.0 - attention_mask[:, None, None, :].astype(x.dtype)) * jnp.asarray(
-                -1e9, x.dtype)
+            # prefill/decode over a fixed-size cache; attention_mask is over
+            # the cache (b, cache_len).  Query row i sits at cache slot
+            # cache_index + i and may attend any valid slot at or before it.
+            cache_len = caches[0][0].shape[1]
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (t, cache_len), 1)
+            row_pos = cache_index + jax.lax.broadcasted_iota(jnp.int32, (t, cache_len), 0)
+            causal = slot_ids <= row_pos  # (t, cache_len)
+            ok = causal[None, None] & (attention_mask[:, None, None, :] > 0)
+            bias = jnp.where(ok, 0.0, -1e9).astype(x.dtype)
             new_caches = []
             for lyr, (kc, vc) in zip(self.layers, caches):
                 x, nc = lyr(x, bias, positions, cache=(kc, vc, cache_index))

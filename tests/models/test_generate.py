@@ -1,0 +1,103 @@
+"""Generation: greedy matches step-by-step argmax, left-padding invariance,
+EOS stopping, sampling shapes, beam search sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+from sparse_matrix_fine_tuning_tpu.models.generate import GenerationConfig, generate
+
+
+def _model(seed=0, **kw):
+    cfg = LlamaConfig.tiny(**kw)
+    return cfg, LlamaForCausalLM(cfg, rngs=nnx.Rngs(seed))
+
+
+def _ref_greedy(model, ids, n_new):
+    """Oracle: repeated full forward + argmax (no cache)."""
+    seq = ids
+    for _ in range(n_new):
+        logits = model(seq)
+        nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), -1)
+        seq = jnp.concatenate([seq, nxt[:, None]], -1)
+    return seq
+
+
+def test_greedy_matches_full_forward():
+    cfg, model = _model()
+    model.eval()
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 6), 2, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    gc = GenerationConfig(max_new_tokens=5, eos_token_id=None)
+    out = generate(model, ids, mask, gc)
+    ref = _ref_greedy(model, ids, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_left_padding_invariance():
+    cfg, model = _model(pad_token_id=0)
+    model.eval()
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 5), 2, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    gc = GenerationConfig(max_new_tokens=4, eos_token_id=None, pad_token_id=0)
+    out = generate(model, ids, mask, gc)
+    pad_ids = jnp.concatenate([jnp.zeros((1, 3), ids.dtype), ids], -1)
+    pad_mask = jnp.concatenate([jnp.zeros((1, 3), mask.dtype), mask], -1)
+    out_p = generate(model, pad_ids, pad_mask, gc)
+    np.testing.assert_array_equal(np.asarray(out[:, 5:]), np.asarray(out_p[:, 8:]))
+
+
+def test_eos_stops_generation():
+    cfg, model = _model()
+    model.eval()
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 4), 3, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    # find what greedy emits first, then set THAT as eos
+    gc0 = GenerationConfig(max_new_tokens=1, eos_token_id=None)
+    first = int(generate(model, ids, mask, gc0)[0, -1])
+    gc = GenerationConfig(max_new_tokens=6, eos_token_id=first, pad_token_id=0)
+    out = np.asarray(generate(model, ids, mask, gc))
+    row = out[0, 4:]
+    if row[0] == first:
+        assert (row[1:] == 0).all()  # padded after EOS
+
+
+def test_sampling_runs():
+    cfg, model = _model()
+    model.eval()
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 4), 2, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    gc = GenerationConfig(max_new_tokens=4, do_sample=True, temperature=0.8,
+                          top_p=0.9, top_k=20, eos_token_id=None)
+    out = generate(model, ids, mask, gc, rng=jax.random.PRNGKey(7))
+    assert out.shape == (2, 8)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) < cfg.vocab_size).all()
+
+
+def test_beam_search_beats_or_equals_greedy_logprob():
+    cfg, model = _model(num_key_value_heads=4)
+    model.eval()
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 5), 2, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    n_new = 4
+    greedy = generate(model, ids, mask,
+                      GenerationConfig(max_new_tokens=n_new, eos_token_id=None))
+    beam = generate(model, ids, mask,
+                    GenerationConfig(max_new_tokens=n_new, eos_token_id=None,
+                                     num_beams=4))
+    assert beam.shape == greedy.shape
+
+    def seq_logprob(toks):
+        # sum of per-token logprobs of the generated part
+        lp = 0.0
+        seq = toks
+        logits = model(seq[:, :-1])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        for b in range(toks.shape[0]):
+            for i in range(ids.shape[1] - 1, seq.shape[1] - 1):
+                lp += float(logp[b, i, int(seq[b, i + 1])])
+        return lp
+
+    assert seq_logprob(beam) >= seq_logprob(greedy) - 1e-3
