@@ -1,0 +1,183 @@
+"""Instruction tuning on Alpaca-style data with 5-shot MMLU evaluation.
+
+TPU-native equivalent of the reference's qlora harness
+(reference qlora/qlora_monarch.py:202-865).  Note the reference fork runs
+the base model in bf16 -- its 4-bit quantization is commented out
+(qlora/qlora.py:294-302); here ``--bits 8|4`` actually quantizes the frozen
+base (see sparse_matrix_fine_tuning_tpu/quant) while adapters stay bf16.
+
+  python run_alpaca.py -model <local-llama-dir> [--dataset alpaca] \
+      [--bits 16|8|4] [--do_mmlu_eval=True] [--smoke=True]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SMOKE_VOCAB = 1024
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Alpaca + MMLU (TPU-native MoRe)")
+    p.add_argument("-model", "--model", default="llama-2-7b")
+    p.add_argument("--dataset", default="alpaca",
+                   choices=["alpaca", "chip2", "self-instruct", "hh-rlhf", "oasst1"])
+    p.add_argument("-data_dir", "--data_dir", default="dataset")
+    p.add_argument("--bits", default=16, type=int, choices=[16, 8, 4])
+    p.add_argument("-seed", "--seed", default=42, type=int)
+    p.add_argument("-e", "--epochs", default=1.0, type=float)
+    p.add_argument("-lr", "--lr", default=5.4e-4, type=float)
+    p.add_argument("-batch_size", "--batch_size", default=4, type=int)
+    p.add_argument("-gradient_accumulation_steps", "--gradient_accumulation_steps",
+                   default=16, type=int)
+    p.add_argument("--source_max_len", default=1024, type=int)
+    p.add_argument("--target_max_len", default=256, type=int)
+    p.add_argument("--do_mmlu_eval", default=True, type=eval)
+    p.add_argument("--mmlu_kshot", default=5, type=int)
+    p.add_argument("--do_tune", default=False, type=eval)
+    p.add_argument("--n_trials", default=4, type=int)
+    p.add_argument("--smoke", default=False, type=eval)
+    p.add_argument("--output_dir", default="results/alpaca")
+    p.add_argument("--logging_steps", default=10, type=int)
+    p.add_argument("--max_n_train_example", default=None, type=int)
+    p.add_argument("--platform", default=None)
+    args, unknown = p.parse_known_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return args, unknown
+
+
+def build_model(args, peft_config):
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+    from sparse_matrix_fine_tuning_tpu.peft import (
+        find_all_linear_names, init_monarch, param_stats)
+
+    if not args.smoke and os.path.isdir(args.model):
+        from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_llama
+        model = from_pretrained_llama(args.model, dtype="bfloat16",
+                                      rngs=nnx.Rngs(args.seed))
+    else:
+        if not args.smoke:
+            print(f"[alpaca] no local weights at {args.model!r}; random tiny init")
+        cfg = LlamaConfig.tiny(vocab_size=SMOKE_VOCAB, hidden_size=128,
+                               num_hidden_layers=2, num_attention_heads=4,
+                               num_key_value_heads=2, intermediate_size=256,
+                               max_position_embeddings=2048)
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(args.seed))
+    # reference targets every linear (find_all_linear_names,
+    # qlora_monarch.py:245-248)
+    peft_config = dict(peft_config, target_modules=find_all_linear_names(model))
+    adapted = init_monarch(model, peft_config, rngs=nnx.Rngs(args.seed + 1))
+    print(f"[alpaca] adapted {len(adapted)} layers with Monarch")
+    if args.bits in (4, 8):
+        from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
+        n = quantize_frozen_base(model, bits=args.bits)
+        print(f"[alpaca] quantized {n} frozen base matrices to int{args.bits}")
+    param_stats(model)
+    return model
+
+
+def main():
+    args, overrides = parse_args()
+    import numpy as np
+    from sparse_matrix_fine_tuning_tpu.data.mmlu import load_mmlu_items, mmlu_accuracy
+    from sparse_matrix_fine_tuning_tpu.data.reasoning import (
+        load_data_items, tokenize_reasoning)
+    from sparse_matrix_fine_tuning_tpu.data.tokenizer import SimpleTokenizer, get_tokenizer
+    from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
+    from sparse_matrix_fine_tuning_tpu.training.hpo import (
+        choice, hyperparameter_search, loguniform)
+    from sparse_matrix_fine_tuning_tpu.utils.config import (
+        load_best_hp, load_json, override_config, save_best_hp)
+
+    peft_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "task_configs", "llama", "peft_config.json")
+    peft_config = load_json(peft_path)
+    extra = override_config([peft_config, args], overrides)
+    if extra:
+        print(f"[alpaca] unmatched overrides: {extra}")
+
+    out_dir = os.path.join(args.output_dir, args.dataset)
+    tokenizer = SimpleTokenizer(vocab_size=SMOKE_VOCAB) if args.smoke \
+        else get_tokenizer(args.model, vocab_size=32000)
+
+    max_len = args.source_max_len + args.target_max_len
+    train_items = load_data_items(
+        "alpaca", args.dataset if args.dataset != "alpaca" else "alpaca_data_cleaned",
+        args.data_dir, split="train", max_n_example=args.max_n_train_example,
+        seed=args.seed, smoke=args.smoke)
+    train_data = tokenize_reasoning("alpaca", train_items, tokenizer,
+                                    max_length=min(max_len, 256 if args.smoke else max_len),
+                                    split="train")
+    train_data = {k: v for k, v in train_data.items()
+                  if k in ("input_ids", "attention_mask", "labels")}
+
+    mmlu_eval = mmlu_dev = None
+    if args.do_mmlu_eval:
+        mmlu_eval = load_mmlu_items(args.data_dir, "eval", smoke=args.smoke,
+                                    seed=args.seed)
+        mmlu_dev = load_mmlu_items(args.data_dir, "dev", smoke=args.smoke,
+                                   seed=args.seed + 1, smoke_n=8)
+
+    def lm_loss(model, batch, train):
+        logits = model(batch["input_ids"], attention_mask=batch["attention_mask"])
+        return model.loss(logits, batch["labels"])
+
+    def mmlu_metrics(model, _data):
+        if mmlu_eval is None:
+            return {}
+        return mmlu_accuracy(model, tokenizer, mmlu_eval, mmlu_dev,
+                             k_shot=args.mmlu_kshot if not args.smoke else 1,
+                             max_length=256 if args.smoke else 2048)
+
+    def make_trainer(hp=None, epochs=None):
+        pc = dict(peft_config)
+        ta = TrainingArgs(
+            output_dir=out_dir, learning_rate=args.lr,
+            num_train_epochs=epochs if epochs is not None else args.epochs,
+            per_device_train_batch_size=args.batch_size,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            lr_scheduler_type="constant", warmup_ratio=0.03,
+            logging_steps=args.logging_steps, log_param_steps=0, seed=args.seed,
+            metric_for_best_model="mmlu_eval_accuracy", greater_is_better=True)
+        if hp:
+            override_config([ta, pc], hp)
+        model = build_model(args, pc)
+        return Trainer(model, ta, train_data=train_data, eval_data=train_data,
+                       loss_fn=lm_loss, compute_metrics=mmlu_metrics)
+
+    if args.do_tune:
+        space = {"learning_rate": loguniform(5e-5, 1e-3),
+                 "blk_r": choice([4, 8, 16])}
+
+        def run_trial(hp, epochs):
+            t = make_trainer(hp, epochs)
+            return t.train()
+
+        result = hyperparameter_search(
+            run_trial, space, n_trials=args.n_trials,
+            target_metric="eval_mmlu_eval_accuracy", mode="max",
+            max_epochs=float(args.epochs))
+        save_best_hp(result["best_hyperparams"], out_dir)
+        hp = result["best_hyperparams"]
+        print(json.dumps({"best_hyperparams": hp,
+                          "best_metric": result["best_metric"]}))
+    else:
+        hp = load_best_hp(out_dir)
+
+    trainer = make_trainer(hp)
+    metrics = trainer.train()
+    print(json.dumps(metrics))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,13 @@ def parse_args():
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--dropout", default=None, type=float)
     p.add_argument("--greedy_decoding", default=True, type=eval)
+    p.add_argument("--intervention_type", default="Nothing",
+                   help="ReFT intervention: Nothing | LoreftIntervention | "
+                        "NoreftIntervention | ConsreftIntervention | MoReIntervention")
+    p.add_argument("-l", "--layers", default="all",
+                   help="intervention layers: 'all' or semicolon ints, e.g. 3;9;18")
+    p.add_argument("-rank", "--rank", default=4, type=int,
+                   help="intervention low-rank dimension")
     p.add_argument("--all_linear", default=True, type=eval)
     p.add_argument("--do_tune", default=False, type=eval)
     p.add_argument("--n_trials", default=6, type=int)
@@ -86,6 +93,19 @@ def build_model(args, peft_config):
                            target_modules=["q_proj", "k_proj", "v_proj", "o_proj"])
     adapted = init_monarch(model, peft_config, rngs=nnx.Rngs(args.seed + 1))
     print(f"[reasoning] adapted {len(adapted)} layers with Monarch")
+    if args.intervention_type not in ("Nothing", "NoIntervention"):
+        # ReFT wrapper: block-output interventions at the chosen layers
+        # (the production MoRe path passes Nothing -- math_monarch.sh:28)
+        from sparse_matrix_fine_tuning_tpu.interventions import ReftConfig, get_reft_model
+        n_layers = model.config.num_hidden_layers
+        layers = (list(range(n_layers)) if args.layers == "all"
+                  else [int(x) for x in str(args.layers).split(";")])
+        reps = [{"layer": l, "component": "block_output",
+                 "intervention": args.intervention_type,
+                 "low_rank_dimension": args.rank} for l in layers]
+        model = get_reft_model(model, ReftConfig(representations=reps),
+                               rngs=nnx.Rngs(args.seed + 2))
+        print(f"[reasoning] ReFT {args.intervention_type} on layers {layers}")
     param_stats(model)
     return model
 
@@ -127,11 +147,16 @@ def main():
     train_data = tokenize_reasoning(task, train_items, tokenizer,
                                     max_length=args.max_length, split="train",
                                     position=args.position)
-    train_data = {k: v for k, v in train_data.items()
-                  if k in ("input_ids", "attention_mask", "labels")}
+    use_reft = args.intervention_type not in ("Nothing", "NoIntervention")
+    keep_cols = ("input_ids", "attention_mask", "labels") + (
+        ("intervention_locations",) if use_reft else ())
+    train_data = {k: v for k, v in train_data.items() if k in keep_cols}
 
     def lm_loss(model, batch, train):
-        logits = model(batch["input_ids"], attention_mask=batch["attention_mask"])
+        kw = {}
+        if "intervention_locations" in batch:
+            kw["intervention_locations"] = batch["intervention_locations"]
+        logits = model(batch["input_ids"], attention_mask=batch["attention_mask"], **kw)
         return model.loss(logits, batch["labels"])
 
     def make_trainer(hp=None, epochs=None):

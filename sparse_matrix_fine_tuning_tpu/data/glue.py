@@ -96,9 +96,11 @@ def load_glue_raw(task: str, smoke: bool = False, smoke_n: int = 256):
     if task == "mnli":
         names = ["train", "validation_matched", "validation_mismatched",
                  "test_matched", "test_mismatched"]
+    import zlib
+    task_seed = zlib.crc32(task.encode()) % 1000  # stable across processes
     for i, split in enumerate(names):
         n = smoke_n if split == "train" else max(smoke_n // 4, 32)
-        splits[split] = _synthetic_split(task, n, seed=17 * i + hash(task) % 1000,
+        splits[split] = _synthetic_split(task, n, seed=17 * i + task_seed,
                                          test=split.startswith("test"))
     return splits
 

@@ -1,0 +1,234 @@
+"""ReFT-style activation interventions (TPU-native pyreft/pyvene core).
+
+The reference vendors the full pyvene hook engine
+(pyreft/pyvene/models/intervenable_base.py, 1691 LoC of forward-hook
+machinery); its MoRe training path only ever intervenes on ``block_output``
+at fixed token positions (loreft/train.py:177-206), so the TPU-native
+engine is a functional hook: models expose ``layer_hooks`` at block
+outputs, and ``ReftModel`` gathers the intervention positions, applies the
+intervention module, and scatters back -- all inside the jit graph instead
+of via runtime hooks.
+
+Interventions (reference pyreft/pyreft/interventions.py:19-143):
+  LoreftIntervention   h + R^T(act(W h + b) - R h)   R semi-orthogonal
+  NoreftIntervention   h + W_proj^T(act(W h + b) - W_proj h)
+  ConsreftIntervention h + R^T(b - R h)
+  NoIntervention       identity (the MoRe production path)
+  MoReIntervention     rotate/source are Monarch block-diagonal factors
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.layers.monarch_linear import (
+    AdapterParam,
+    MonarchFactor,
+)
+from sparse_matrix_fine_tuning_tpu.ops.blockdiag import blockdiag_multiply
+
+Array = jax.Array
+
+
+def _ortho_init(key, shape, dtype=jnp.float32):
+    return jax.nn.initializers.orthogonal()(key, shape, dtype)
+
+
+class LoreftIntervention(nnx.Module):
+    def __init__(self, embed_dim: int, low_rank_dimension: int, *,
+                 dropout: float = 0.0, act_fn=None, param_dtype=jnp.float32,
+                 rngs: nnx.Rngs):
+        k1, k2, k3 = jax.random.split(rngs.params(), 3)
+        # semi-orthogonal columns: rotate (d, r)
+        self.rotate = AdapterParam(_ortho_init(k1, (embed_dim, low_rank_dimension),
+                                               param_dtype))
+        self.w = AdapterParam(jax.random.normal(k2, (embed_dim, low_rank_dimension),
+                                                param_dtype) * 0.02)
+        self.b = AdapterParam(jnp.zeros((low_rank_dimension,), param_dtype))
+        self.act_fn = act_fn or (lambda x: x)
+        self.dropout = nnx.Dropout(dropout, deterministic=True, rngs=rngs) if dropout > 0 else None
+
+    def __call__(self, h: Array) -> Array:
+        R = self.rotate.value.astype(h.dtype)
+        src = self.act_fn(h @ self.w.value.astype(h.dtype)
+                          + self.b.value.astype(h.dtype))
+        out = h + (src - h @ R) @ R.T
+        if self.dropout is not None:
+            out = self.dropout(out)
+        return out
+
+
+class NoreftIntervention(nnx.Module):
+    def __init__(self, embed_dim: int, low_rank_dimension: int, *,
+                 add_bias: bool = True, dropout: float = 0.0, act_fn=None,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+        k1, k2 = jax.random.split(rngs.params())
+        self.proj = AdapterParam(jax.random.normal(
+            k1, (embed_dim, low_rank_dimension), param_dtype) * 0.02)
+        self.w = AdapterParam(jax.random.normal(
+            k2, (embed_dim, low_rank_dimension), param_dtype) * 0.02)
+        self.b = AdapterParam(jnp.zeros((low_rank_dimension,), param_dtype)) \
+            if add_bias else None
+        self.act_fn = act_fn or (lambda x: x)
+
+    def __call__(self, h: Array) -> Array:
+        P = self.proj.value.astype(h.dtype)
+        src = h @ self.w.value.astype(h.dtype)
+        if self.b is not None:
+            src = src + self.b.value.astype(h.dtype)
+        return h + (self.act_fn(src) - h @ P) @ P.T
+
+
+class ConsreftIntervention(nnx.Module):
+    def __init__(self, embed_dim: int, low_rank_dimension: int, *,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+        k1, k2 = jax.random.split(rngs.params())
+        self.rotate = AdapterParam(_ortho_init(k1, (embed_dim, low_rank_dimension),
+                                               param_dtype))
+        self.source = AdapterParam(jax.random.uniform(
+            k2, (low_rank_dimension,), param_dtype))
+
+    def __call__(self, h: Array) -> Array:
+        R = self.rotate.value.astype(h.dtype)
+        return h + (self.source.value.astype(h.dtype) - h @ R) @ R.T
+
+
+class NoIntervention(nnx.Module):
+    """Identity -- the MoRe production path intervenes on nothing and lets
+    the Monarch adapters do the work (math_monarch.sh:28)."""
+
+    def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
+                 rngs: Optional[nnx.Rngs] = None, **_):
+        pass
+
+    def __call__(self, h: Array) -> Array:
+        return h
+
+
+class MoReIntervention(nnx.Module):
+    """ReFT with Monarch factors: blockwise-orthogonal rotate + learned
+    source, inverse rotation via the transposed block-diagonal factor
+    (reference interventions.py:104-143)."""
+
+    def __init__(self, embed_dim: int, low_rank_dimension: int, *,
+                 nblocks: int = 4, dropout: float = 0.0, act_fn=None,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+        blk_r = max(low_rank_dimension // nblocks, 1)
+        self.rotate_layer = MonarchFactor(
+            embed_dim, low_rank_dimension, nblocks=nblocks, blk_r=blk_r,
+            ortho=True, param_dtype=param_dtype, rngs=rngs)
+        self.learned_source = MonarchFactor(
+            embed_dim, low_rank_dimension, nblocks=nblocks, blk_r=blk_r,
+            param_dtype=param_dtype, rngs=rngs)
+        self.act_fn = act_fn or (lambda x: x)
+        self.dropout = nnx.Dropout(dropout, deterministic=True, rngs=rngs) if dropout > 0 else None
+
+    def __call__(self, h: Array) -> Array:
+        rotated = self.rotate_layer(h)
+        delta = self.act_fn(self.learned_source(h)) - rotated
+        # inverse rotation: transposed blocks of the orthogonal factor
+        w_t = jnp.swapaxes(self.rotate_layer.weight.value, -1, -2).astype(h.dtype)
+        out = h + blockdiag_multiply(delta, w_t)
+        if self.dropout is not None:
+            out = self.dropout(out)
+        return out
+
+
+INTERVENTION_TYPES = {
+    "LoreftIntervention": LoreftIntervention,
+    "NoreftIntervention": NoreftIntervention,
+    "ConsreftIntervention": ConsreftIntervention,
+    "NoIntervention": NoIntervention,
+    "Nothing": NoIntervention,
+    "MoReIntervention": MoReIntervention,
+}
+
+
+@dataclasses.dataclass
+class ReftConfig:
+    """representations: list of dicts {layer, component, low_rank_dimension,
+    intervention (name or class)} (reference pyreft/pyreft/config.py:4-30)."""
+    representations: Sequence[dict] = ()
+
+
+def apply_at_positions(x: Array, locations: Array, fn) -> Array:
+    """Gather token positions, intervene, scatter back.
+
+    x: (b, t, d); locations: (b, p) with -1 padding (positions produced by
+    data.reasoning.get_intervention_locations).  The -1 slots map to
+    position 0 but write back the untouched value, so they are no-ops.
+    """
+    b = x.shape[0]
+    safe = jnp.maximum(locations, 0)
+    gathered = jnp.take_along_axis(x, safe[..., None], axis=1)  # (b, p, d)
+    edited = fn(gathered)
+    keep = (locations >= 0)[..., None]
+    # scatter-ADD the delta: -1 pad slots (mapped to position 0) contribute
+    # zero instead of racing a real edit at position 0
+    delta = jnp.where(keep, edited - gathered, 0)
+    return x.at[jnp.arange(b)[:, None], safe].add(delta)
+
+
+class ReftModel(nnx.Module):
+    """Wraps a base model with position-indexed block-output interventions
+    (the capability of pyvene's IntervenableModel that the MoRe flows use,
+    reference reft_model.py:9-55 + intervenable_base.py forward path)."""
+
+    def __init__(self, model, config: ReftConfig, *, param_dtype=jnp.float32,
+                 rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.model = model
+        embed_dim = model.config.hidden_size
+        layers, interventions = [], []
+        for rep in config.representations:
+            assert rep.get("component", "block_output") == "block_output", (
+                "the TPU-native engine supports block_output interventions")
+            cls = rep.get("intervention", "NoIntervention")
+            if isinstance(cls, str):
+                cls = INTERVENTION_TYPES[cls]
+            kw = {k: v for k, v in rep.items()
+                  if k not in ("layer", "component", "intervention")}
+            kw.setdefault("low_rank_dimension", 4)
+            interventions.append(cls(embed_dim, param_dtype=param_dtype,
+                                     rngs=rngs, **kw)
+                                 if cls is not NoIntervention
+                                 else NoIntervention())
+            layers.append(int(rep["layer"]))
+        self.intervention_layers = tuple(layers)
+        self.interventions = nnx.List(interventions)
+
+    def _hooks(self, intervention_locations):
+        """intervention_locations: (b, num_interventions, p) from the data
+        pipeline.  Returns {layer: fn}."""
+        hooks = {}
+        for i, (layer, iv) in enumerate(zip(self.intervention_layers,
+                                            self.interventions)):
+            if isinstance(iv, NoIntervention):
+                continue
+            locs = intervention_locations[:, min(i, intervention_locations.shape[1] - 1)]
+            hooks[layer] = (lambda iv, locs: lambda x: apply_at_positions(x, locs, iv))(iv, locs)
+        return hooks
+
+    def __call__(self, input_ids, attention_mask=None,
+                 intervention_locations=None, **kw):
+        hooks = self._hooks(intervention_locations) \
+            if intervention_locations is not None else None
+        return self.model(input_ids, attention_mask=attention_mask,
+                          layer_hooks=hooks, **kw)
+
+    def loss(self, logits, labels, **kw):
+        return self.model.loss(logits, labels, **kw)
+
+    @property
+    def config(self):
+        return self.model.config
+
+
+def get_reft_model(model, reft_config: ReftConfig, *, rngs=None) -> ReftModel:
+    """Factory mirroring reference pyreft.get_reft_model (utils.py:19-44)."""
+    return ReftModel(model, reft_config, rngs=rngs)

@@ -205,6 +205,9 @@ class MonarchLinear(nnx.Module):
         self.blkdiag1 = AdapterParam(bd1)
         self.blkdiag2 = AdapterParam(bd2)
         self.dense = nnx.data(nnx.Param(dense_w) if dense_w is not None else None)
+        self.quant_bits = 0  # set by quant.quantize_frozen_base
+        self.quant_group = 0
+        self.dense_scales = nnx.data(None)
 
         if bias is not None:
             self.bias = nnx.Param(jnp.asarray(bias, param_dtype))
@@ -283,6 +286,18 @@ class MonarchLinear(nnx.Module):
 
     def _dense_forward(self, x: Array) -> Array:
         w = self.dense.value
+        compute = self.dtype if self.dtype is not None else x.dtype
+        qbits = getattr(self, "quant_bits", 0)
+        if qbits:
+            # dequantised frozen base (see quant/): convert+scale fuses into
+            # the matmul operand read
+            from sparse_matrix_fine_tuning_tpu.quant import (
+                dequantize_int4, dequantize_int8)
+            scales = self.dense_scales.value
+            if qbits == 8:
+                w = dequantize_int8(w, scales, compute)
+            else:
+                w = dequantize_int4(w, scales, self.quant_group, compute)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)

@@ -129,7 +129,10 @@ class LlamaModel(nnx.Module):
                                           dtype=cfg.compute_dtype, rngs=rngs)
 
     def __call__(self, input_ids, attention_mask=None, positions=None, caches=None,
-                 cache_index=None):
+                 cache_index=None, layer_hooks=None):
+        """layer_hooks: optional {layer_idx: fn(hidden) -> hidden} applied to
+        the block output (ReFT-style activation intervention hook points,
+        the TPU-native analogue of pyvene's forward hooks)."""
         b, t = input_ids.shape
         x = self.embed_tokens(input_ids)
         if positions is None:
@@ -143,8 +146,10 @@ class LlamaModel(nnx.Module):
                     -1e9, x.dtype)
                 bias = bias + pad
             new_caches = None
-            for lyr in self.layers:
+            for i, lyr in enumerate(self.layers):
                 x, _ = lyr(x, bias, positions)
+                if layer_hooks and i in layer_hooks:
+                    x = layer_hooks[i](x)
         else:
             # prefill/decode over a fixed-size cache; attention_mask is over
             # the cache (b, cache_len).  Query row i sits at cache slot
@@ -156,8 +161,10 @@ class LlamaModel(nnx.Module):
             ok = causal[None, None] & (attention_mask[:, None, None, :] > 0)
             bias = jnp.where(ok, 0.0, -1e9).astype(x.dtype)
             new_caches = []
-            for lyr, (kc, vc) in zip(self.layers, caches):
+            for i, (lyr, (kc, vc)) in enumerate(zip(self.layers, caches)):
                 x, nc = lyr(x, bias, positions, cache=(kc, vc, cache_index))
+                if layer_hooks and i in layer_hooks:
+                    x = layer_hooks[i](x)
                 new_caches.append(nc)
         x = self.norm(x)
         return x, new_caches
@@ -179,9 +186,10 @@ class LlamaForCausalLM(nnx.Module):
         return self.lm_head(hidden)
 
     def __call__(self, input_ids, attention_mask=None, positions=None, caches=None,
-                 cache_index=None):
+                 cache_index=None, layer_hooks=None):
         hidden, new_caches = self.model(
-            input_ids, attention_mask, positions, caches, cache_index)
+            input_ids, attention_mask, positions, caches, cache_index,
+            layer_hooks=layer_hooks)
         out = self.logits(hidden)
         return (out, new_caches) if caches is not None else out
 

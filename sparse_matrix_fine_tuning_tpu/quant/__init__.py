@@ -1,0 +1,91 @@
+"""Quantized frozen base: int8 / int4 dense weights under bf16 adapters.
+
+Covers the reference's qlora flow (qlora/qlora_monarch.py) -- note the
+reference fork ships with BitsAndBytes quantization commented OUT
+(qlora/qlora.py:294-302), so this is a capability the reference only
+gestures at.  TPU-native scheme:
+
+  int8: per-output-row absmax scaling, stored as int8 (half of bf16).
+  int4: per-(row, group) absmax scaling with group_size input columns,
+        two nibbles packed per int8 byte (quarter of bf16).
+
+Dequantisation happens in the forward as a convert+multiply that XLA fuses
+into the matmul operand read; adapters and all activations stay bf16.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.layers.monarch_linear import MonarchLinear
+
+
+def quantize_int8(w):
+    """(values int8 (out, in), scales f32 (out, 1))"""
+    w = np.asarray(w, np.float32)
+    scales = np.abs(w).max(axis=1, keepdims=True) / 127.0
+    scales = np.maximum(scales, 1e-12)
+    q = np.clip(np.round(w / scales), -127, 127).astype(np.int8)
+    return q, scales.astype(np.float32)
+
+
+def dequantize_int8(q, scales, dtype=jnp.float32):
+    return (q.astype(jnp.float32) * scales).astype(dtype)
+
+
+def quantize_int4(w, group_size: int = 64):
+    """(packed uint8 (out, in//2), scales f32 (out, in//group_size))."""
+    w = np.asarray(w, np.float32)
+    out_f, in_f = w.shape
+    assert in_f % group_size == 0, f"in_features {in_f} % {group_size} != 0"
+    g = w.reshape(out_f, in_f // group_size, group_size)
+    scales = np.abs(g).max(axis=-1, keepdims=True) / 7.0
+    scales = np.maximum(scales, 1e-12)
+    q = np.clip(np.round(g / scales), -8, 7).astype(np.int8).reshape(out_f, in_f)
+    # pack two signed nibbles per byte (offset-8 encoding)
+    u = (q + 8).astype(np.uint8)
+    packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+    return packed, scales[..., 0].astype(np.float32)
+
+
+def dequantize_int4(packed, scales, group_size: int = 64, dtype=jnp.float32):
+    lo = (packed & 0xF).astype(jnp.int32) - 8
+    hi = (packed >> 4).astype(jnp.int32) - 8
+    out_f = packed.shape[0]
+    in_f = packed.shape[1] * 2
+    q = jnp.stack([lo, hi], axis=-1).reshape(out_f, in_f)
+    g = q.reshape(out_f, in_f // group_size, group_size).astype(jnp.float32)
+    w = g * scales[..., None]
+    return w.reshape(out_f, in_f).astype(dtype)
+
+
+def quantize_frozen_base(model: nnx.Module, bits: int = 8,
+                         group_size: int = 64) -> int:
+    """Quantize every MonarchLinear's frozen dense weight in place.
+
+    Returns the number of matrices quantized.  The int values live in the
+    (frozen) ``dense`` Param; scales in a new ``dense_scales`` Variable;
+    ``quant_bits``/``quant_group`` static attrs steer the dequant path in
+    ``MonarchLinear._dense_forward``.
+    """
+    assert bits in (4, 8)
+    from sparse_matrix_fine_tuning_tpu.peft.surgery import _iter_parents
+    n = 0
+    for _, _, child in _iter_parents(model):
+        if isinstance(child, MonarchLinear) and child.dense is not None \
+                and child.as_adapter and not getattr(child, "quant_bits", 0):
+            w = np.asarray(child.dense.value)
+            if bits == 8:
+                q, scales = quantize_int8(w)
+            else:
+                if w.shape[1] % group_size != 0:
+                    continue  # ragged layer stays bf16
+                q, scales = quantize_int4(w, group_size)
+            child.dense.value = jnp.asarray(q)
+            child.dense_scales = nnx.Variable(jnp.asarray(scales))
+            child.quant_bits = bits
+            child.quant_group = group_size
+            n += 1
+    return n

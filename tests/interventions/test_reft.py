@@ -1,0 +1,104 @@
+"""ReFT interventions: math identities, position targeting, training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.interventions import (
+    ConsreftIntervention,
+    LoreftIntervention,
+    MoReIntervention,
+    NoIntervention,
+    ReftConfig,
+    get_reft_model,
+)
+from sparse_matrix_fine_tuning_tpu.interventions.reft import apply_at_positions
+from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+from sparse_matrix_fine_tuning_tpu.peft import trainable_filter
+
+
+def test_loreft_projects_to_source_in_subspace():
+    iv = LoreftIntervention(16, 4, rngs=nnx.Rngs(0))
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 16))
+    out = iv(h)
+    # in the rotated subspace, output equals the learned source exactly:
+    # R^T(out) = act(W h + b)
+    R = iv.rotate.value
+    src = h @ iv.w.value + iv.b.value
+    np.testing.assert_allclose(np.asarray(out @ R), np.asarray(src),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_consreft_constant_subspace():
+    iv = ConsreftIntervention(16, 4, rngs=nnx.Rngs(0))
+    h = jax.random.normal(jax.random.PRNGKey(2), (5, 16))
+    out = iv(h)
+    R = iv.rotate.value
+    np.testing.assert_allclose(
+        np.asarray(out @ R),
+        np.broadcast_to(np.asarray(iv.source.value), (5, 4)),
+        rtol=1e-3, atol=1e-4)
+
+
+def test_more_intervention_runs_and_is_orthogonal_blockwise():
+    iv = MoReIntervention(32, 8, nblocks=4, rngs=nnx.Rngs(0))
+    for blk in iv.rotate_layer.weight.value:
+        gram = blk @ blk.T
+        np.testing.assert_allclose(np.asarray(gram), np.eye(blk.shape[0]), atol=1e-4)
+    h = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 32))
+    assert iv(h).shape == h.shape
+
+
+def test_apply_at_positions_targets_only_listed_tokens():
+    x = jnp.zeros((2, 6, 4))
+    locs = jnp.array([[1, 3, -1], [0, 5, -1]])
+    out = apply_at_positions(x, locs, lambda g: g + 1.0)
+    out = np.asarray(out)
+    assert out[0, 1].sum() == 4 and out[0, 3].sum() == 4
+    assert out[1, 0].sum() == 4 and out[1, 5].sum() == 4
+    # untouched positions stay zero (including the -1 padding slots)
+    assert out[0, [0, 2, 4, 5]].sum() == 0
+    assert out[1, [1, 2, 3, 4]].sum() == 0
+
+
+def test_reft_model_end_to_end_trains():
+    cfg = LlamaConfig.tiny()
+    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    reft = get_reft_model(base, ReftConfig(representations=[
+        {"layer": 0, "component": "block_output",
+         "intervention": "LoreftIntervention", "low_rank_dimension": 4},
+        {"layer": 1, "component": "block_output",
+         "intervention": "MoReIntervention", "low_rank_dimension": 8},
+    ]), rngs=nnx.Rngs(1))
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 10), 0, cfg.vocab_size)
+    locs = jnp.array([[[0, 1, 8, 9]], [[0, 1, 8, 9]]])  # (b, 1, p)
+    logits = reft(ids, intervention_locations=locs)
+    assert logits.shape == (2, 10, cfg.vocab_size)
+
+    filt = trainable_filter()
+
+    @nnx.jit
+    def step(model, ids, locs):
+        def loss(m):
+            lg = m(ids, intervention_locations=locs)
+            return m.loss(lg, ids)
+        return nnx.value_and_grad(loss, argnums=nnx.DiffState(0, filt))(model)
+
+    val, grads = step(reft, ids, locs)
+    assert np.isfinite(float(val))
+    # intervention params receive gradient; base params have none
+    paths = ["/".join(map(str, p)) for p, g in grads.flat_state()]
+    assert any("interventions" in p for p in paths)
+    assert not any("embed_tokens" in p for p in paths)
+
+
+def test_no_intervention_is_identity():
+    cfg = LlamaConfig.tiny()
+    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    plain = base(jnp.ones((1, 5), jnp.int32))
+    reft = get_reft_model(base, ReftConfig(representations=[
+        {"layer": 0, "intervention": "Nothing"}]))
+    locs = jnp.zeros((1, 1, 2), jnp.int32)
+    out = reft(jnp.ones((1, 5), jnp.int32), intervention_locations=locs)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(out), rtol=1e-6)

@@ -1,0 +1,71 @@
+"""Quantized frozen base: round-trip accuracy and end-to-end training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.layers import MonarchLinear
+from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+from sparse_matrix_fine_tuning_tpu.peft import init_monarch
+from sparse_matrix_fine_tuning_tpu.quant import (
+    dequantize_int4,
+    dequantize_int8,
+    quantize_frozen_base,
+    quantize_int4,
+    quantize_int8,
+)
+
+
+def test_int8_roundtrip():
+    w = np.random.default_rng(0).normal(size=(16, 64)).astype(np.float32)
+    q, s = quantize_int8(w)
+    wq = np.asarray(dequantize_int8(jnp.asarray(q), jnp.asarray(s)))
+    err = np.abs(wq - w).max() / np.abs(w).max()
+    assert err < 0.01  # ~1/127
+
+
+def test_int4_roundtrip():
+    w = np.random.default_rng(1).normal(size=(16, 128)).astype(np.float32)
+    q, s = quantize_int4(w, group_size=64)
+    assert q.shape == (16, 64) and q.dtype == np.uint8
+    wq = np.asarray(dequantize_int4(jnp.asarray(q), jnp.asarray(s), 64))
+    err = np.abs(wq - w).max() / np.abs(w).max()
+    assert err < 0.1  # ~1/7 worst case per group
+
+
+def test_quantized_layer_forward_close():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 64)) * 0.1
+    layer = MonarchLinear(64, 64, weights=w, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    ref = np.asarray(layer(x))
+    quantize_frozen_base(layer, bits=8)
+    out8 = np.asarray(layer(x))
+    assert np.abs(out8 - ref).max() < 0.02 * np.abs(ref).max() + 0.01
+
+
+def test_quantized_model_trains():
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    init_monarch(model, {"monarch": True, "nblocks": 4, "blk_r": 4,
+                         "adapter": True,
+                         "target_modules": ["q_proj", "v_proj", "up_proj"]},
+                 rngs=nnx.Rngs(1))
+    n = quantize_frozen_base(model, bits=4, group_size=16)
+    assert n > 0
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, cfg.vocab_size)
+
+    from sparse_matrix_fine_tuning_tpu.peft import trainable_filter
+    filt = trainable_filter()
+
+    @nnx.jit
+    def step(model, ids):
+        def loss(m, ids):
+            return m.loss(m(ids), ids)
+        val, grads = nnx.value_and_grad(loss, argnums=nnx.DiffState(0, filt))(model, ids)
+        return val, grads
+
+    val, grads = step(model, ids)
+    assert np.isfinite(float(val))
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert gnorm > 0
