@@ -30,6 +30,7 @@ def parse_args():
     p.add_argument("config_path", help="task config JSON path")
     p.add_argument("--monarch", default=True, type=eval)
     p.add_argument("--lora", default=False, type=eval)
+    p.add_argument("--boft", default=False, type=eval)
     p.add_argument("--do_tune", default=False, type=eval)
     p.add_argument("--n_trials", default=8, type=int)
     p.add_argument("--smoke", default=False, type=eval,
@@ -62,18 +63,33 @@ class DataArgs:
 
 
 def build_model(data_args, peft_config, num_labels, smoke, use_monarch, use_lora,
-                bf16=False, seed=0):
+                bf16=False, seed=0, use_boft=False):
     from flax import nnx
     from sparse_matrix_fine_tuning_tpu.models import (
         RobertaConfig, RobertaForSequenceClassification)
-    from sparse_matrix_fine_tuning_tpu.peft import init_lora, init_monarch, param_stats
+    from sparse_matrix_fine_tuning_tpu.peft import (
+        init_boft, init_lora, init_monarch, param_stats)
 
     dtype = "bfloat16" if bf16 else None
     path = data_args.model_name_or_path
+    is_deberta = "deberta" in path.lower()
     if not smoke and os.path.isdir(path):
-        from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_roberta
-        model = from_pretrained_roberta(path, num_labels=num_labels, dtype=dtype,
-                                        rngs=nnx.Rngs(seed))
+        if is_deberta:
+            from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_deberta
+            model = from_pretrained_deberta(path, num_labels=num_labels, dtype=dtype,
+                                            rngs=nnx.Rngs(seed))
+        else:
+            from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_roberta
+            model = from_pretrained_roberta(path, num_labels=num_labels, dtype=dtype,
+                                            rngs=nnx.Rngs(seed))
+    elif is_deberta:
+        from sparse_matrix_fine_tuning_tpu.models.deberta import (
+            DebertaV2Config, DebertaV2ForSequenceClassification)
+        if not smoke:
+            print(f"[run_glue] no local weights at {path!r}; using random init")
+        cfg = DebertaV2Config.tiny(num_labels=num_labels, dtype=dtype,
+                                   vocab_size=SMOKE_VOCAB) if smoke             else DebertaV2Config(num_labels=num_labels, dtype=dtype)
+        model = DebertaV2ForSequenceClassification(cfg, rngs=nnx.Rngs(seed))
     else:
         if not smoke:
             print(f"[run_glue] no local weights at {path!r}; using random init")
@@ -85,7 +101,10 @@ def build_model(data_args, peft_config, num_labels, smoke, use_monarch, use_lora
         else:
             cfg = RobertaConfig.base(num_labels=num_labels, dtype=dtype)
         model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(seed))
-    if use_monarch:
+    if use_boft:
+        adapted = init_boft(model, peft_config, rngs=nnx.Rngs(seed + 1))
+        print(f"[run_glue] adapted {len(adapted)} layers with BOFT")
+    elif use_monarch:
         adapted = init_monarch(model, peft_config, rngs=nnx.Rngs(seed + 1))
         for name, dense_shape, s1, s2 in adapted[:3]:
             print(f"Adapted {name} {dense_shape} -> {s1}, {s2}")
@@ -211,8 +230,9 @@ def main():
         if epochs is not None:
             ta.num_train_epochs = epochs
         model = build_model(data_args, pc, num_labels, args.smoke,
-                            args.monarch, args.lora, bf16=args.bf16_compute,
-                            seed=ta.seed)
+                            args.monarch and not args.boft, args.lora,
+                            bf16=args.bf16_compute, seed=ta.seed,
+                            use_boft=args.boft)
         return Trainer(model, ta, train_data=data["train"],
                        eval_data=data[val_key],
                        compute_metrics=glue_metrics_fn(task))

@@ -142,3 +142,58 @@ def from_pretrained_llama(path: str, dtype="bfloat16", *, rngs=None):
     model = LlamaForCausalLM(cfg, rngs=rngs or nnx.Rngs(0))
     load_llama(model, load_state_dict(path))
     return model
+
+
+def load_deberta(model, state_dict: Dict) -> None:
+    """Populate a DebertaV2ForSequenceClassification from an HF
+    ``deberta-v2/v3`` state dict."""
+    sd = state_dict
+    deb = model.deberta if hasattr(model, "deberta") else model
+    _set_embed(deb.word_embeddings, sd, "deberta.embeddings.word_embeddings.weight")
+    _set_ln(deb.emb_LayerNorm, sd, "deberta.embeddings.LayerNorm")
+    if deb.rel_embeddings is not None:
+        _set_embed(deb.rel_embeddings, sd, "deberta.encoder.rel_embeddings.weight")
+    if deb.rel_LayerNorm is not None:
+        _set_ln(deb.rel_LayerNorm, sd, "deberta.encoder.LayerNorm")
+    for i, lyr in enumerate(deb.layer):
+        p = f"deberta.encoder.layer.{i}"
+        _set_linear(lyr.attention_self.query_proj, sd, f"{p}.attention.self.query_proj")
+        _set_linear(lyr.attention_self.key_proj, sd, f"{p}.attention.self.key_proj")
+        _set_linear(lyr.attention_self.value_proj, sd, f"{p}.attention.self.value_proj")
+        _set_linear(lyr.attention_output.dense, sd, f"{p}.attention.output.dense")
+        _set_ln(lyr.attention_output.LayerNorm, sd, f"{p}.attention.output.LayerNorm")
+        _set_linear(lyr.intermediate, sd, f"{p}.intermediate.dense")
+        _set_linear(lyr.output_dense, sd, f"{p}.output.dense")
+        _set_ln(lyr.output_LayerNorm, sd, f"{p}.output.LayerNorm")
+    if hasattr(model, "pooler") and "pooler.dense.weight" in sd:
+        _set_linear(model.pooler, sd, "pooler.dense")
+        _set_linear(model.classifier, sd, "classifier")
+
+
+def from_pretrained_deberta(path: str, num_labels: int = 2, dtype=None, *, rngs=None):
+    import json
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models.deberta import (
+        DebertaV2Config, DebertaV2ForSequenceClassification)
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = DebertaV2Config(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 0),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-7),
+        pad_token_id=hf.get("pad_token_id", 0),
+        relative_attention=hf.get("relative_attention", True),
+        position_buckets=hf.get("position_buckets", 256),
+        max_relative_positions=hf.get("max_relative_positions", -1),
+        pos_att_type=tuple(hf.get("pos_att_type", ["p2c", "c2p"])),
+        share_att_key=hf.get("share_att_key", True),
+        norm_rel_ebd=hf.get("norm_rel_ebd", "layer_norm"),
+        position_biased_input=hf.get("position_biased_input", False),
+        num_labels=num_labels, dtype=dtype)
+    model = DebertaV2ForSequenceClassification(cfg, rngs=rngs or nnx.Rngs(0))
+    load_deberta(model, load_state_dict(path))
+    return model

@@ -1,3 +1,4 @@
+from sparse_matrix_fine_tuning_tpu.peft.boft import BOFTLinear, init_boft
 from sparse_matrix_fine_tuning_tpu.peft.surgery import (
     find_all_linear_names,
     init_lora,
@@ -9,6 +10,8 @@ from sparse_matrix_fine_tuning_tpu.peft.surgery import (
 )
 
 __all__ = [
+    "BOFTLinear",
+    "init_boft",
     "find_all_linear_names",
     "init_lora",
     "init_monarch",

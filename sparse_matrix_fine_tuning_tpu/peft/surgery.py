@@ -122,6 +122,9 @@ def trainable_filter(extra_paths: Iterable[str] = DEFAULT_TRAINABLE_PATHS):
     + Scaler params and anything under a classifier-like path train;
     everything else is frozen.
     """
+    extra_paths = tuple(extra_paths)
+    if "__all__" in extra_paths:
+        return nnx.Param  # full fine-tuning: every parameter trains
     filters = [nnx.OfType(AdapterParam), nnx.OfType(nnx.LoRAParam)]
     for p in extra_paths:
         filters.append(nnx.All(nnx.Param, nnx.PathContains(p)))

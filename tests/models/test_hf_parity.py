@@ -66,3 +66,38 @@ def test_llama_matches_hf():
         hf_out = hf_model(input_ids=torch.tensor(ids)).logits.numpy()
     ours = np.asarray(model(jnp.asarray(ids)))
     np.testing.assert_allclose(ours, hf_out, rtol=3e-3, atol=3e-3)
+
+
+def test_deberta_matches_hf():
+    hf_cfg = transformers.DebertaV2Config(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=0,
+        relative_attention=True, position_buckets=8,
+        pos_att_type=["p2c", "c2p"], share_att_key=True,
+        norm_rel_ebd="layer_norm", position_biased_input=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        pooler_dropout=0.0, num_labels=3, pad_token_id=0)
+    torch.manual_seed(0)
+    hf_model = transformers.DebertaV2ForSequenceClassification(hf_cfg).eval()
+
+    from sparse_matrix_fine_tuning_tpu.models.deberta import (
+        DebertaV2Config, DebertaV2ForSequenceClassification)
+    from sparse_matrix_fine_tuning_tpu.models.hf_convert import load_deberta
+
+    cfg = DebertaV2Config.tiny(num_labels=3, hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0)
+    model = DebertaV2ForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    load_deberta(model, {k: v for k, v in hf_model.state_dict().items()})
+    model.eval()
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(2, 128, size=(2, 12))
+    mask = np.ones_like(ids)
+    mask[1, 9:] = 0  # exercise the 2D mask path
+    with torch.no_grad():
+        hf_out = hf_model(input_ids=torch.tensor(ids),
+                          attention_mask=torch.tensor(mask)).logits.numpy()
+    import jax.numpy as jnp
+    ours = np.asarray(model(jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, hf_out, rtol=3e-3, atol=3e-3)
