@@ -103,11 +103,14 @@ def _extract_dw(dW1bd: Array, dW2hat: Array, w1_shape, w2_shape):
     return dw1, dw2.transpose(0, 2, 1)
 
 
-def _pick_seq_tile(per_row_bytes: int) -> int:
-    budget = 8 * 1024 * 1024
-    ts = budget // max(per_row_bytes, 1)
-    ts = (ts // 128) * 128
-    return int(max(128, min(1024, ts)))
+def _pick_seq_tile(per_row_bytes: int, fixed_bytes: int = 0) -> int:
+    """Sequence tile size: Pallas double-buffers every blocked operand, so
+    the per-row budget is charged twice; fixed_bytes covers whole-array
+    operands (expanded weights + fp32 grad scratch)."""
+    budget = 12 * 1024 * 1024 - fixed_bytes
+    ts = budget // max(2 * per_row_bytes, 1)
+    ts = (ts // 64) * 64
+    return int(max(64, min(1024, ts)))
 
 
 def _fwd_kernel(x_ref, w1bd_ref, w2hat_ref, out_ref):
@@ -118,16 +121,16 @@ def _fwd_kernel(x_ref, w1bd_ref, w2hat_ref, out_ref):
 
 
 def _bwd_kernel(x_ref, w1bd_ref, w2hat_ref, dout_ref, seqlen_ref,
-                dx_ref, dw1bd_ref, dw2hat_ref,
-                dw1_acc, dw2_acc):
+                dx_ref, dw1bd_ref, dw2hat_ref):
     i = pl.program_id(0)
-    nprog = pl.num_programs(0)
     ts = x_ref.shape[0]
 
+    # accumulate straight into the fp32 output refs (they revisit the same
+    # block every grid step, staying VMEM-resident) -- no extra scratch
     @pl.when(i == 0)
     def _init():
-        dw1_acc[...] = jnp.zeros(dw1_acc.shape, dw1_acc.dtype)
-        dw2_acc[...] = jnp.zeros(dw2_acc.shape, dw2_acc.dtype)
+        dw1bd_ref[...] = jnp.zeros(dw1bd_ref.shape, dw1bd_ref.dtype)
+        dw2hat_ref[...] = jnp.zeros(dw2hat_ref.shape, dw2hat_ref.dtype)
 
     # Mask rows beyond the true batch (the last tile may be padded); without
     # this the dw accumulators would sum garbage rows.
@@ -140,7 +143,7 @@ def _bwd_kernel(x_ref, w1bd_ref, w2hat_ref, dout_ref, seqlen_ref,
     out1 = jnp.dot(x, w1bd_ref[...], preferred_element_type=jnp.float32
                    ).astype(x.dtype)
     # dW2hat += out1^T @ dout
-    dw2_acc[...] += jax.lax.dot_general(
+    dw2hat_ref[...] += jax.lax.dot_general(
         out1, dout, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # dout1 = dout @ W2hat^T
@@ -152,14 +155,9 @@ def _bwd_kernel(x_ref, w1bd_ref, w2hat_ref, dout_ref, seqlen_ref,
         dout1, w1bd_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
     # dW1bd += x^T @ dout1
-    dw1_acc[...] += jax.lax.dot_general(
+    dw1bd_ref[...] += jax.lax.dot_general(
         x, dout1, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-
-    @pl.when(i == nprog - 1)
-    def _flush():
-        dw1bd_ref[...] = dw1_acc[...].astype(dw1bd_ref.dtype)
-        dw2hat_ref[...] = dw2_acc[...].astype(dw2hat_ref.dtype)
 
 
 def _monarch_pallas_fwd_call(x2d: Array, w1bd: Array, w2hat: Array, interpret: bool) -> Array:
@@ -167,7 +165,8 @@ def _monarch_pallas_fwd_call(x2d: Array, w1bd: Array, w2hat: Array, interpret: b
     kq = w1bd.shape[1]
     m = w2hat.shape[1]
     itemsize = x2d.dtype.itemsize
-    ts = _pick_seq_tile((n + m) * itemsize + kq * 4)
+    fixed = (n * kq + kq * m) * itemsize
+    ts = _pick_seq_tile((n + m) * itemsize, fixed)
     grid = (pl.cdiv(b, ts),)
     return pl.pallas_call(
         _fwd_kernel,
@@ -193,7 +192,9 @@ def _monarch_pallas_bwd_call(x2d, w1bd, w2hat, dout2d, interpret):
     kq = w1bd.shape[1]
     m = w2hat.shape[1]
     itemsize = x2d.dtype.itemsize
-    ts = _pick_seq_tile((2 * n + m) * itemsize + 2 * kq * 4)
+    # fixed residents (x2 for pipelining): bf16 weights + fp32 grad outputs
+    fixed = (n * kq + kq * m) * 2 * (itemsize + 4)
+    ts = _pick_seq_tile((2 * n + 2 * m) * itemsize, fixed)
     grid = (pl.cdiv(b, ts),)
     seqlen = jnp.array([b], dtype=jnp.int32)
     return pl.pallas_call(
@@ -215,10 +216,6 @@ def _monarch_pallas_bwd_call(x2d, w1bd, w2hat, dout2d, interpret):
             jax.ShapeDtypeStruct((b, n), x2d.dtype),
             jax.ShapeDtypeStruct((n, kq), jnp.float32),
             jax.ShapeDtypeStruct((kq, m), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n, kq), jnp.float32),
-            pltpu.VMEM((kq, m), jnp.float32),
         ],
         interpret=interpret,
     )(x2d, w1bd, w2hat, dout2d, seqlen)
@@ -282,8 +279,14 @@ def monarch_mm(x: Array, w1: Array, w2: Array, impl: str = "auto") -> Array:
     if impl == "pallas_interpret":
         assert supported
         return monarch_kernel(x, w1, w2, interpret=True)
-    # auto
+    # auto: the fused kernel wins on large activations (it reads x once and
+    # keeps the intermediate in VMEM); at small sizes XLA's fusion of the
+    # surrounding ops wins -- measured crossover around b*(n+m) ~ 16M els.
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and supported and not jnp.issubdtype(x.dtype, jnp.complexfloating):
+    b = 1
+    for d in x.shape[:-1]:
+        b *= d
+    big = b * (x.shape[-1] + w2.shape[0] * w2.shape[1]) >= (1 << 24)
+    if on_tpu and supported and big and not jnp.issubdtype(x.dtype, jnp.complexfloating):
         return monarch_kernel(x, w1, w2)
     return blockdiag_butterfly_multiply(x, w1, w2)

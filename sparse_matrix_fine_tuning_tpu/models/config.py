@@ -73,6 +73,11 @@ class LlamaConfig:
     eos_token_id: int = 2
     tie_word_embeddings: bool = False
     dtype: Optional[str] = None  # compute dtype, e.g. "bfloat16"; params stay f32
+    # "einsum": explicit softmax(QK^T)V; "dpa": jax.nn.dot_product_attention
+    # (XLA fused); "splash": Pallas splash-attention kernel (TPU, causal,
+    # head_dim % 128 == 0) -- the flash-attention-2 capability slot
+    # (reference loreft/train.py:122 attn_implementation)
+    attention_impl: str = "einsum"
 
     @property
     def kv_heads(self) -> int:

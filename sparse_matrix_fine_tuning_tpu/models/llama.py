@@ -25,6 +25,28 @@ from sparse_matrix_fine_tuning_tpu.ops.activations import swiglu
 Array = jax.Array
 
 
+def _splash_attention(q: Array, k: Array, v: Array) -> Array:
+    """Causal splash attention (Pallas TPU kernel): the flash-attention
+    equivalent for right-padded causal-LM training.  Pad queries produce
+    garbage that the loss masks; pad keys sit after every valid query under
+    the causal mask, so pure-causal is exact for right-padded batches.
+
+    q/k/v: (b, t, heads, head_dim) -> (b, t, heads, head_dim)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+    b, t, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    mask = sm.MultiHeadMask([sm.CausalMask((t, t)) for _ in range(h)])
+    kernel = sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1)
+    qh = q.transpose(0, 2, 1, 3) * scale  # (b, h, t, d)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    out = jax.vmap(kernel)(qh, kh, vh)  # (b, h, t, d)
+    return out.transpose(0, 2, 1, 3)
+
+
 def _linear(in_f, out_f, rngs, use_bias=False, dtype=None):
     return nnx.Linear(
         in_f, out_f, use_bias=use_bias, dtype=dtype,
@@ -82,10 +104,20 @@ class LlamaAttention(nnx.Module):
         groups = self.num_heads // self.num_kv
         kr = jnp.repeat(k, groups, axis=2) if groups > 1 else k
         vr = jnp.repeat(v, groups, axis=2) if groups > 1 else v
-        scores = jnp.einsum("bthd,bshd->bhts", q, kr) / math.sqrt(self.head_dim)
-        scores = scores + attn_bias
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bhts,bshd->bthd", probs, vr).reshape(b, t, -1)
+        impl = self.cfg.attention_impl
+        if cache is None and impl == "splash":
+            ctx = _splash_attention(q, kr, vr)
+        elif cache is None and impl == "dpa":
+            # XLA's fused attention path; bias carries causal+padding
+            ctx = jax.nn.dot_product_attention(
+                q, kr, vr, bias=attn_bias.astype(q.dtype),
+                scale=1.0 / math.sqrt(self.head_dim))
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", q, kr) / math.sqrt(self.head_dim)
+            scores = scores + attn_bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bhts,bshd->bthd", probs, vr)
+        ctx = ctx.reshape(b, t, -1)
         return self.o_proj(ctx), new_cache
 
 

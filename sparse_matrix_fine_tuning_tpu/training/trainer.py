@@ -90,6 +90,7 @@ class Trainer:
                  loss_fn: Optional[Callable] = None,
                  compute_metrics: Optional[Callable] = None,
                  mesh=None,
+                 logger=None,
                  extra_trainable_paths: Iterable[str] = DEFAULT_TRAINABLE_PATHS):
         self.model = model
         self.args = args
@@ -98,6 +99,7 @@ class Trainer:
         self.loss_fn = loss_fn or self._default_loss
         self.compute_metrics = compute_metrics
         self.mesh = mesh
+        self.logger = logger
         self.extra_paths = tuple(extra_trainable_paths)
         self.filt = trainable_filter(self.extra_paths)
         self.step = 0
@@ -233,6 +235,8 @@ class Trainer:
                            "elapsed_s": round(time.time() - t0, 1)}
                     self.log_history.append(rec)
                     print(json.dumps(rec))
+                    if self.logger is not None:
+                        self.logger.log(rec)
                 if a.log_param_steps and self.step % a.log_param_steps == 0:
                     param_stats(self.model, extra_paths=self.extra_paths)
                 if a.eval_steps and self.step % a.eval_steps == 0 and self.eval_data is not None:
@@ -279,6 +283,8 @@ class Trainer:
         metrics["step"] = self.step
         self.log_history.append(metrics)
         print(json.dumps(metrics))
+        if self.logger is not None:
+            self.logger.log(metrics)
         a = self.args
         key = a.metric_for_best_model if a.metric_for_best_model.startswith("eval_") \
             else f"eval_{a.metric_for_best_model}"
