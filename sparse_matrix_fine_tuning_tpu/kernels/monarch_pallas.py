@@ -120,6 +120,15 @@ def _fwd_kernel(x_ref, w1bd_ref, w2hat_ref, out_ref):
                            ).astype(out_ref.dtype)
 
 
+def _fwd_add_kernel(x_ref, base_ref, w1bd_ref, w2hat_ref, out_ref):
+    """Adapter epilogue fused with the residual add: out = base + monarch(x)
+    (saves one full HBM pass over the layer output in the hybrid layout)."""
+    out1 = jnp.dot(x_ref[...], w1bd_ref[...], preferred_element_type=jnp.float32)
+    out1 = out1.astype(x_ref.dtype)
+    mon = jnp.dot(out1, w2hat_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = (base_ref[...].astype(jnp.float32) + mon).astype(out_ref.dtype)
+
+
 def _bwd_kernel(x_ref, w1bd_ref, w2hat_ref, dout_ref, seqlen_ref,
                 dx_ref, dw1bd_ref, dw2hat_ref):
     i = pl.program_id(0)
@@ -160,22 +169,32 @@ def _bwd_kernel(x_ref, w1bd_ref, w2hat_ref, dout_ref, seqlen_ref,
         preferred_element_type=jnp.float32)
 
 
-def _monarch_pallas_fwd_call(x2d: Array, w1bd: Array, w2hat: Array, interpret: bool) -> Array:
+def _monarch_pallas_fwd_call(x2d: Array, w1bd: Array, w2hat: Array, interpret: bool,
+                             base2d: Array | None = None) -> Array:
     b, n = x2d.shape
     kq = w1bd.shape[1]
     m = w2hat.shape[1]
     itemsize = x2d.dtype.itemsize
     fixed = (n * kq + kq * m) * itemsize
-    ts = _pick_seq_tile((n + m) * itemsize, fixed)
+    per_row = (n + m + (m if base2d is not None else 0)) * itemsize
+    ts = _pick_seq_tile(per_row, fixed)
     grid = (pl.cdiv(b, ts),)
+    in_specs = [pl.BlockSpec((ts, n), lambda i: (i, 0))]
+    args = [x2d]
+    kernel = _fwd_kernel
+    if base2d is not None:
+        in_specs.append(pl.BlockSpec((ts, m), lambda i: (i, 0)))
+        args.append(base2d)
+        kernel = _fwd_add_kernel
+    in_specs += [
+        pl.BlockSpec((n, kq), lambda i: (0, 0)),
+        pl.BlockSpec((kq, m), lambda i: (0, 0)),
+    ]
+    args += [w1bd, w2hat]
     return pl.pallas_call(
-        _fwd_kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((ts, n), lambda i: (i, 0)),
-            pl.BlockSpec((n, kq), lambda i: (0, 0)),
-            pl.BlockSpec((kq, m), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ts, m), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, m), x2d.dtype),
         cost_estimate=pl.CostEstimate(
@@ -184,7 +203,7 @@ def _monarch_pallas_fwd_call(x2d: Array, w1bd: Array, w2hat: Array, interpret: b
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2d, w1bd, w2hat)
+    )(*args)
 
 
 def _monarch_pallas_bwd_call(x2d, w1bd, w2hat, dout2d, interpret):
@@ -246,6 +265,44 @@ def _monarch_kernel_vjp(interpret: bool):
 
     mk.defvjp(mk_fwd, mk_bwd)
     return mk
+
+
+@functools.lru_cache(maxsize=2)
+def _monarch_add_vjp(interpret: bool):
+    """base + monarch(x) with the add fused into the forward kernel.
+    Backward: d_base = dout (no extra kernel); dx/dw via the monarch bwd."""
+
+    @jax.custom_vjp
+    def mk(base, x, w1, w2):
+        *batch, n = x.shape
+        w1bd, w2hat = expand_monarch_factors(w1, w2)
+        out = _monarch_pallas_fwd_call(
+            x.reshape(-1, n), w1bd, w2hat, interpret,
+            base2d=base.reshape(-1, base.shape[-1]))
+        return out.reshape(base.shape)
+
+    def mk_fwd(base, x, w1, w2):
+        return mk(base, x, w1, w2), (x, w1, w2)
+
+    def mk_bwd(res, dout):
+        x, w1, w2 = res
+        *batch, n = x.shape
+        m = dout.shape[-1]
+        w1bd, w2hat = expand_monarch_factors(w1, w2)
+        dx, dw1bd, dw2hat = _monarch_pallas_bwd_call(
+            x.reshape(-1, n), w1bd, w2hat, dout.reshape(-1, m), interpret
+        )
+        dw1, dw2 = _extract_dw(dw1bd, dw2hat, w1.shape, w2.shape)
+        return dout, dx.reshape(x.shape), dw1.astype(w1.dtype), dw2.astype(w2.dtype)
+
+    mk.defvjp(mk_fwd, mk_bwd)
+    return mk
+
+
+def monarch_add(base: Array, x: Array, w1: Array, w2: Array,
+                interpret: bool = False) -> Array:
+    """Fused ``base + monarch(x)`` (the hybrid MonarchLinear hot path)."""
+    return _monarch_add_vjp(bool(interpret))(base, x, w1, w2)
 
 
 def monarch_kernel(x: Array, w1: Array, w2: Array, interpret: bool = False) -> Array:

@@ -310,13 +310,43 @@ class MonarchLinear(nnx.Module):
             out = blockdiag_multiply(out, self.blkdiag_mult.value.astype(out.dtype))
         return out
 
+    def _can_fuse_add(self, x: Array) -> bool:
+        """Whether the hybrid hot path can use the fused base+monarch kernel:
+        no branch transforms (dropout/scaler/mult-factor), no padding, TPU,
+        and above the measured size crossover (docs/BENCHMARKS.md)."""
+        from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+            monarch_kernel_supported)
+        if (self.impl not in ("auto", "pallas") or self.dropout is not None
+                or self.scaler is not None or self.use_mult_factor
+                or self.quant_bits):
+            return False
+        if (self.nblocks * self.in_blksz != self.in_features
+                or self.nblocks * self.out_blksz != self.out_features):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        b = 1
+        for d in x.shape[:-1]:
+            b *= d
+        if self.impl == "auto" and b * (self.in_features + self.out_features) < (1 << 24):
+            return False
+        return monarch_kernel_supported(
+            self.in_features, self.blkdiag1.value.shape,
+            self.blkdiag2.value.shape, x.dtype.itemsize)
+
     def __call__(self, x: Array, *, deterministic=None) -> Array:
         if self.as_adapter:
             assert self.dense is not None, (
                 "adapter mode requires frozen dense weights (pass `weights=`) "
                 "or set as_adapter=False")
             out = self._dense_forward(x)
-            if not self.merged:
+            if not self.merged and self._can_fuse_add(x):
+                from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+                    monarch_add)
+                w1 = self.blkdiag1.value.astype(out.dtype)
+                w2 = self.blkdiag2.value.astype(out.dtype)
+                out = monarch_add(out, x.astype(out.dtype), w1, w2)
+            elif not self.merged:
                 out = out + self.monarch_forward(x, deterministic=deterministic)
         else:
             out = self.monarch_forward(x, deterministic=deterministic)
