@@ -78,6 +78,10 @@ class LlamaConfig:
     # head_dim % 128 == 0) -- the flash-attention-2 capability slot
     # (reference loreft/train.py:122 attn_implementation)
     attention_impl: str = "einsum"
+    # rematerialise each decoder layer in the backward (gradient
+    # checkpointing; the reference enables HF gradient_checkpointing for the
+    # 7B flows -- qlora_monarch.py:144-146)
+    remat: bool = False
 
     @property
     def kv_heads(self) -> int:

@@ -178,10 +178,21 @@ class LlamaModel(nnx.Module):
                     -1e9, x.dtype)
                 bias = bias + pad
             new_caches = None
-            for i, lyr in enumerate(self.layers):
-                x, _ = lyr(x, bias, positions)
-                if layer_hooks and i in layer_hooks:
-                    x = layer_hooks[i](x)
+            if self.config.remat:
+                # recompute each decoder layer in the backward: activation
+                # memory drops from O(layers) to O(1) layers
+                def run_layer(lyr, x, bias, positions):
+                    return lyr(x, bias, positions)[0]
+                run_layer = nnx.remat(run_layer)
+                for i, lyr in enumerate(self.layers):
+                    x = run_layer(lyr, x, bias, positions)
+                    if layer_hooks and i in layer_hooks:
+                        x = layer_hooks[i](x)
+            else:
+                for i, lyr in enumerate(self.layers):
+                    x, _ = lyr(x, bias, positions)
+                    if layer_hooks and i in layer_hooks:
+                        x = layer_hooks[i](x)
         else:
             # prefill/decode over a fixed-size cache; attention_mask is over
             # the cache (b, cache_len).  Query row i sits at cache slot
