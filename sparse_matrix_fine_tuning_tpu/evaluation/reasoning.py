@@ -121,6 +121,8 @@ def compute_reasoning_metrics(
     ids = eval_data["input_ids"]
     mask = eval_data["attention_mask"]
     ex_ids = eval_data.get("id", np.arange(len(ids)))
+    all_locs = eval_data.get("intervention_locations")
+    is_reft = hasattr(model, "interventions") and all_locs is not None
     correct, total = 0, 0
     generations = []
     n = len(ids)
@@ -131,7 +133,23 @@ def compute_reasoning_metrics(
             reps = batch_size - len(batch_ids)
             batch_ids = np.concatenate([batch_ids, np.repeat(batch_ids[-1:], reps, 0)])
             batch_mask = np.concatenate([batch_mask, np.repeat(batch_mask[-1:], reps, 0)])
-        out = np.asarray(generate(model, batch_ids, batch_mask, gc, rng=rng))
+        hooks = None
+        if is_reft:
+            # shift unpadded (sink-relative) positions by the left padding,
+            # keeping -1 pads; repeat per beam for beam search
+            import jax.numpy as jnp
+            locs = all_locs[s:s + batch_size]
+            if len(locs) < batch_size:
+                locs = np.concatenate(
+                    [locs, np.repeat(locs[-1:], batch_size - len(locs), 0)])
+            lens = batch_mask.sum(axis=1)
+            shift = (batch_ids.shape[1] - lens - 1)[:, None, None]
+            shifted = np.where(locs >= 0, locs + shift, -1)
+            if gc.num_beams > 1:
+                shifted = np.repeat(shifted, gc.num_beams, axis=0)
+            hooks = model._hooks(jnp.asarray(shifted))
+        out = np.asarray(generate(model, batch_ids, batch_mask, gc, rng=rng,
+                                  prefill_hooks=hooks))
         new_tokens = out[:, ids.shape[1]:]
         for j in range(min(batch_size, n - s)):
             example = data_items[int(ex_ids[s + j])]

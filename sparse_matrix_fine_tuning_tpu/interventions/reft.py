@@ -218,6 +218,10 @@ class ReftModel(nnx.Module):
                  intervention_locations=None, **kw):
         hooks = self._hooks(intervention_locations) \
             if intervention_locations is not None else None
+        # callers (e.g. generate's prefill) may pass pre-built layer_hooks
+        extern = kw.pop("layer_hooks", None)
+        if extern:
+            hooks = {**(hooks or {}), **extern}
         return self.model(input_ids, attention_mask=attention_mask,
                           layer_hooks=hooks, **kw)
 

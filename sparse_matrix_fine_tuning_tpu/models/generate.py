@@ -66,14 +66,19 @@ def _sample_logits(logits, key, cfg: GenerationConfig):
 
 
 def generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
-             rng: Optional[Array] = None):
+             rng: Optional[Array] = None, prefill_hooks=None):
     """Generate continuations.  input_ids/attention_mask: (B, T) LEFT-padded.
+
+    prefill_hooks: optional {layer: fn} applied during the prompt prefill
+    only (ReFT intervene_on_prompt semantics -- reference
+    compute_metrics.py:172-187).
 
     Returns (B, T + max_new_tokens) sequences (prompt + generation, padded
     with pad_token_id after EOS).
     """
     if gen_config.num_beams > 1:
-        return beam_generate(model, input_ids, attention_mask, gen_config)
+        return beam_generate(model, input_ids, attention_mask, gen_config,
+                             prefill_hooks=prefill_hooks)
     cfg = gen_config
     graphdef, state = nnx.split(model)
     b, t = input_ids.shape
@@ -90,7 +95,8 @@ def generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
             [attention_mask, jnp.zeros((b, total - t), attention_mask.dtype)], -1)
         positions = _positions_from_mask(attention_mask)
         logits, caches = m(input_ids, attention_mask=mask_full, positions=positions,
-                           caches=caches, cache_index=0)
+                           caches=caches, cache_index=0,
+                           layer_hooks=prefill_hooks)
         last_logit = logits[:, -1]
         next_pos = positions[:, -1] + 1  # (b,)
 
@@ -119,8 +125,13 @@ def generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
     return jnp.concatenate([jnp.asarray(input_ids), toks], axis=-1)
 
 
-def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig):
-    """Beam search with early stopping and length-normalised scoring."""
+def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
+                  prefill_hooks=None):
+    """Beam search with early stopping and length-normalised scoring.
+
+    prefill_hooks must already be built for the beam-EXPANDED batch (b*K)
+    when interventions are used (the reference repeat-interleaves locations
+    per beam, compute_metrics.py:164-166)."""
     cfg = gen_config
     K = cfg.num_beams
     graphdef, state = nnx.split(model)
@@ -144,7 +155,8 @@ def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig
             [mask_k, jnp.zeros((bk, total - t), mask_k.dtype)], -1)
         positions = _positions_from_mask(mask_k)
         logits, caches = m(ids_k, attention_mask=mask_full, positions=positions,
-                           caches=caches, cache_index=0)
+                           caches=caches, cache_index=0,
+                           layer_hooks=prefill_hooks)
         last_logit = logits[:, -1]
         next_pos = positions[:, -1] + 1
 

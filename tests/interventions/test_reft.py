@@ -102,3 +102,49 @@ def test_no_intervention_is_identity():
     locs = jnp.zeros((1, 1, 2), jnp.int32)
     out = reft(jnp.ones((1, 5), jnp.int32), intervention_locations=locs)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(out), rtol=1e-6)
+
+
+def test_reft_generation_with_prompt_interventions():
+    """Interventions applied during prefill change generations; Nothing doesn't."""
+    import numpy as np
+    from sparse_matrix_fine_tuning_tpu.models.generate import (
+        GenerationConfig, generate)
+
+    cfg = LlamaConfig.tiny()
+    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    reft = get_reft_model(base, ReftConfig(representations=[
+        {"layer": 0, "intervention": "LoreftIntervention",
+         "low_rank_dimension": 4}]), rngs=nnx.Rngs(1))
+    ids = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 3, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    gc = GenerationConfig(max_new_tokens=4, eos_token_id=None)
+    plain = generate(base, ids, mask, gc)
+    locs = jnp.array([[[0, 1, 4, 5]], [[0, 1, 4, 5]]])
+    hooks = reft._hooks(locs)
+    intervened = generate(base, ids, mask, gc, prefill_hooks=hooks)
+    assert plain.shape == intervened.shape
+    # Loreft is randomly initialised (not identity) => outputs change
+    assert (np.asarray(plain) != np.asarray(intervened)).any()
+
+
+def test_reft_eval_pipeline_with_interventions(tmp_path):
+    """compute_reasoning_metrics routes intervention locations into prefill."""
+    import numpy as np
+    from sparse_matrix_fine_tuning_tpu.data.reasoning import (
+        load_data_items, tokenize_reasoning)
+    from sparse_matrix_fine_tuning_tpu.data.tokenizer import SimpleTokenizer
+    from sparse_matrix_fine_tuning_tpu.evaluation import compute_reasoning_metrics
+
+    tok = SimpleTokenizer(vocab_size=256)
+    cfg = LlamaConfig.tiny()
+    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    reft = get_reft_model(base, ReftConfig(representations=[
+        {"layer": 0, "intervention": "LoreftIntervention",
+         "low_rank_dimension": 4}]), rngs=nnx.Rngs(1))
+    items = load_data_items("math", "MultiArith", "nope", smoke=True, smoke_n=8)
+    data = tokenize_reasoning("math", items, tok, max_length=48, split="test")
+    gens, metrics = compute_reasoning_metrics(
+        "math", "MultiArith", reft, tok, data, items, batch_size=4,
+        greedy_decoding=True, max_new_tokens=4)
+    assert "eval/MultiArith" in metrics
+    assert len(gens) == 8
