@@ -27,6 +27,8 @@ def parse_args():
                    choices=["alpaca", "chip2", "self-instruct", "hh-rlhf", "oasst1"])
     p.add_argument("-data_dir", "--data_dir", default="dataset")
     p.add_argument("--bits", default=16, type=int, choices=[16, 8, 4])
+    p.add_argument("--adapter", default="monarch", choices=["monarch", "lora"],
+                   help="monarch (qlora_monarch.py flow) or lora (qlora.py baseline)")
     p.add_argument("-seed", "--seed", default=42, type=int)
     p.add_argument("-e", "--epochs", default=1.0, type=float)
     p.add_argument("-lr", "--lr", default=5.4e-4, type=float)
@@ -55,7 +57,7 @@ def build_model(args, peft_config):
     from flax import nnx
     from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
     from sparse_matrix_fine_tuning_tpu.peft import (
-        find_all_linear_names, init_monarch, param_stats)
+        find_all_linear_names, init_lora, init_monarch, param_stats)
 
     if not args.smoke and os.path.isdir(args.model):
         from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_llama
@@ -72,8 +74,13 @@ def build_model(args, peft_config):
     # reference targets every linear (find_all_linear_names,
     # qlora_monarch.py:245-248)
     peft_config = dict(peft_config, target_modules=find_all_linear_names(model))
-    adapted = init_monarch(model, peft_config, rngs=nnx.Rngs(args.seed + 1))
-    print(f"[alpaca] adapted {len(adapted)} layers with Monarch")
+    if args.adapter == "lora":
+        adapted = init_lora(model, dict(peft_config, r=peft_config.get("blk_r", 8) * 4),
+                            rngs=nnx.Rngs(args.seed + 1))
+        print(f"[alpaca] adapted {len(adapted)} layers with LoRA (qlora baseline)")
+    else:
+        adapted = init_monarch(model, peft_config, rngs=nnx.Rngs(args.seed + 1))
+        print(f"[alpaca] adapted {len(adapted)} layers with Monarch")
     if args.bits in (4, 8):
         from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
         n = quantize_frozen_base(model, bits=args.bits)

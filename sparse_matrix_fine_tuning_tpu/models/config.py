@@ -78,6 +78,9 @@ class LlamaConfig:
     # head_dim % 128 == 0) -- the flash-attention-2 capability slot
     # (reference loreft/train.py:122 attn_implementation)
     attention_impl: str = "einsum"
+    # parameter storage dtype: "float32" (default) or "bfloat16" (halves the
+    # frozen base's HBM footprint; adapters stay f32 via their own param_dtype)
+    param_dtype: str = "float32"
     # rematerialise each decoder layer in the backward (gradient
     # checkpointing; the reference enables HF gradient_checkpointing for the
     # 7B flows -- qlora_monarch.py:144-146)
@@ -102,3 +105,5 @@ class LlamaConfig:
 
 RobertaConfig.compute_dtype = property(lambda self: _resolve_dtype(self.dtype))
 LlamaConfig.compute_dtype = property(lambda self: _resolve_dtype(self.dtype))
+LlamaConfig.params_dtype = property(
+    lambda self: _resolve_dtype(self.param_dtype) or __import__("jax.numpy", fromlist=["x"]).float32)

@@ -47,9 +47,10 @@ def _splash_attention(q: Array, k: Array, v: Array) -> Array:
     return out.transpose(0, 2, 1, 3)
 
 
-def _linear(in_f, out_f, rngs, use_bias=False, dtype=None):
+def _linear(in_f, out_f, rngs, use_bias=False, dtype=None, param_dtype=None):
     return nnx.Linear(
         in_f, out_f, use_bias=use_bias, dtype=dtype,
+        param_dtype=param_dtype or jnp.float32,
         kernel_init=nnx.initializers.normal(stddev=0.02),
         rngs=rngs,
     )
@@ -77,10 +78,10 @@ class LlamaAttention(nnx.Module):
         self.num_heads = cfg.num_attention_heads
         self.num_kv = cfg.kv_heads
         self.head_dim = cfg.hidden_size // cfg.num_attention_heads
-        self.q_proj = _linear(cfg.hidden_size, self.num_heads * self.head_dim, rngs, dtype=cfg.compute_dtype)
-        self.k_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, dtype=cfg.compute_dtype)
-        self.v_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, dtype=cfg.compute_dtype)
-        self.o_proj = _linear(self.num_heads * self.head_dim, cfg.hidden_size, rngs, dtype=cfg.compute_dtype)
+        self.q_proj = _linear(cfg.hidden_size, self.num_heads * self.head_dim, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
+        self.k_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
+        self.v_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
+        self.o_proj = _linear(self.num_heads * self.head_dim, cfg.hidden_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
 
     def __call__(self, x, attn_bias, positions, cache=None):
         b, t, _ = x.shape
@@ -123,9 +124,9 @@ class LlamaAttention(nnx.Module):
 
 class LlamaMLP(nnx.Module):
     def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
-        self.gate_proj = _linear(cfg.hidden_size, cfg.intermediate_size, rngs, dtype=cfg.compute_dtype)
-        self.up_proj = _linear(cfg.hidden_size, cfg.intermediate_size, rngs, dtype=cfg.compute_dtype)
-        self.down_proj = _linear(cfg.intermediate_size, cfg.hidden_size, rngs, dtype=cfg.compute_dtype)
+        self.gate_proj = _linear(cfg.hidden_size, cfg.intermediate_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
+        self.up_proj = _linear(cfg.hidden_size, cfg.intermediate_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
+        self.down_proj = _linear(cfg.intermediate_size, cfg.hidden_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
 
     def __call__(self, x):
         return self.down_proj(swiglu(self.gate_proj(x), self.up_proj(x)))
@@ -136,10 +137,11 @@ class LlamaDecoderLayer(nnx.Module):
         self.self_attn = LlamaAttention(cfg, rngs=rngs)
         self.mlp = LlamaMLP(cfg, rngs=rngs)
         self.input_layernorm = nnx.RMSNorm(cfg.hidden_size, epsilon=cfg.rms_norm_eps,
-                                          dtype=cfg.compute_dtype, rngs=rngs)
+                                          dtype=cfg.compute_dtype,
+                                          param_dtype=cfg.params_dtype, rngs=rngs)
         self.post_attention_layernorm = nnx.RMSNorm(
             cfg.hidden_size, epsilon=cfg.rms_norm_eps, dtype=cfg.compute_dtype,
-            rngs=rngs)
+            param_dtype=cfg.params_dtype, rngs=rngs)
 
     def __call__(self, x, attn_bias, positions, cache=None):
         attn_out, new_cache = self.self_attn(
@@ -154,11 +156,13 @@ class LlamaModel(nnx.Module):
         self.config = cfg
         self.embed_tokens = nnx.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=cfg.compute_dtype,
+            param_dtype=cfg.params_dtype,
             embedding_init=nnx.initializers.normal(stddev=0.02), rngs=rngs)
         self.layers = nnx.List([LlamaDecoderLayer(cfg, rngs=rngs)
                                 for _ in range(cfg.num_hidden_layers)])
         self.norm = nnx.RMSNorm(cfg.hidden_size, epsilon=cfg.rms_norm_eps,
-                                          dtype=cfg.compute_dtype, rngs=rngs)
+                                          dtype=cfg.compute_dtype,
+                                          param_dtype=cfg.params_dtype, rngs=rngs)
 
     def __call__(self, input_ids, attention_mask=None, positions=None, caches=None,
                  cache_index=None, layer_hooks=None):
@@ -220,7 +224,7 @@ class LlamaForCausalLM(nnx.Module):
         if cfg.tie_word_embeddings:
             self.lm_head = None
         else:
-            self.lm_head = _linear(cfg.hidden_size, cfg.vocab_size, rngs, dtype=cfg.compute_dtype)
+            self.lm_head = _linear(cfg.hidden_size, cfg.vocab_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
 
     def logits(self, hidden: Array) -> Array:
         if self.lm_head is None:

@@ -90,3 +90,20 @@ def test_grad_accumulation_runs(tmp_path):
     trainer, _ = _make(tmp_path, gradient_accumulation_steps=2)
     metrics = trainer.train()
     assert np.isfinite(metrics["eval_loss"])
+
+
+def test_resume_from_checkpoint(tmp_path):
+    # train a few steps, save, then a fresh trainer resumes from the step
+    trainer, data = _make(tmp_path, save_steps=4)
+    trainer.train()
+    from sparse_matrix_fine_tuning_tpu.training.checkpoint import get_last_checkpoint
+    # "completed" marker present -> resume says done
+    last, completed = get_last_checkpoint(str(tmp_path))
+    assert completed and last is None
+    # remove marker to simulate a crash mid-run
+    os.remove(os.path.join(str(tmp_path), "completed"))
+    last, completed = get_last_checkpoint(str(tmp_path))
+    assert last is not None and not completed
+    trainer2, _ = _make(tmp_path, save_steps=0)
+    trainer2._maybe_resume()
+    assert trainer2.step > 0
