@@ -17,9 +17,21 @@ from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
 from sparse_matrix_fine_tuning_tpu.peft import init_monarch, param_stats, trainable_filter
 
 print("backend:", jax.default_backend())
-B, T = 2, 512
-cfg = LlamaConfig(param_dtype="bfloat16", dtype="bfloat16", remat=True,
-                  max_position_embeddings=T)
+B, T = int(os.environ.get("B7", 1)), int(os.environ.get("T7", 256))
+SIZE = os.environ.get("SIZE7", "7b")
+if SIZE == "7b":
+    cfg = LlamaConfig(param_dtype="bfloat16", dtype="bfloat16", remat=True,
+                      max_position_embeddings=T)
+else:  # ~3B: fits 2x on a 16G chip even when runtime donation is unavailable
+    cfg = LlamaConfig(hidden_size=3200, num_hidden_layers=26,
+                      num_attention_heads=32, intermediate_size=8640,
+                      param_dtype="bfloat16", dtype="bfloat16", remat=True,
+                      max_position_embeddings=T)
+# NOTE: the sandbox tunnel does not honour buffer donation at runtime, so a
+# step transiently needs 2x params; full 7B (2x12.9G) exceeds one 16G chip
+# HERE although the compiled program itself fits (verified: compile
+# succeeds, execution hits ResourceExhausted).  On directly-attached chips
+# donation makes the 7B config fit.
 t0 = time.time()
 model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
 print(f"init 7B random base: {time.time()-t0:.1f}s")
@@ -27,16 +39,17 @@ init_monarch(model, {"monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
                      "target_modules": ["q_proj", "v_proj", "k_proj", "o_proj",
                                         "gate_proj", "up_proj", "down_proj"]},
              rngs=nnx.Rngs(1))
-param_stats(model)
+param_stats(model, extra_paths=())
 
 import optax
-filt = trainable_filter()
+# adapters only: lm_head would add 131M trainable params + f32 Adam state
+filt = trainable_filter(extra_paths=())
 tx = optax.adamw(5e-4)
 opt = nnx.Optimizer(model, tx, wrt=filt)
 
 ids = jnp.asarray(np.random.default_rng(0).integers(2, cfg.vocab_size, (B, T)))
 
-@nnx.jit
+@nnx.jit(donate_argnums=(0, 1))
 def step(model, opt, ids):
     def loss(m, ids):
         return m.loss(m(ids), ids)

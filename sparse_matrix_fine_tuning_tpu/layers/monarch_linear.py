@@ -195,12 +195,15 @@ class MonarchLinear(nnx.Module):
         # --- dense base / projection ---
         dense_w = None
         if weights is not None:
-            w = jnp.asarray(weights, param_dtype)
+            # keep the frozen base in ITS OWN storage dtype (a bf16 7B base
+            # must not silently upcast to f32 -- that doubles HBM)
+            w = jnp.asarray(weights)
             assert w.shape == (out_features, in_features), w.shape
             if self.as_adapter and not self.svd_init:
                 dense_w = w  # frozen base
             else:
-                bd1, bd2, dense_w = self._projected_values(w, project_rank)
+                bd1, bd2, dense_w = self._projected_values(
+                    w.astype(jnp.float32), project_rank)
 
         self.blkdiag1 = AdapterParam(bd1)
         self.blkdiag2 = AdapterParam(bd2)
@@ -210,7 +213,7 @@ class MonarchLinear(nnx.Module):
         self.dense_scales = nnx.data(None)
 
         if bias is not None:
-            self.bias = nnx.Param(jnp.asarray(bias, param_dtype))
+            self.bias = nnx.Param(jnp.asarray(bias))
         elif use_bias:
             bound = 1.0 / math.sqrt(out_features)
             self.bias = nnx.Param(jax.random.uniform(

@@ -163,7 +163,9 @@ class Trainer:
 
         filt, loss_fn = self.filt, self.loss_fn
 
-        @nnx.jit
+        # donate model+optimizer state: without this the step holds input
+        # AND output copies of every parameter (fatal at 7B scale)
+        @nnx.jit(donate_argnums=(0, 1))
         def train_step(model, optimizer, batch):
             def inner(m, b):
                 return loss_fn(m, b, True)
