@@ -11,8 +11,6 @@ Sentence-key mapping mirrors the reference's ``task_to_keys``
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 TASK_TO_KEYS = {

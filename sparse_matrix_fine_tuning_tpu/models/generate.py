@@ -16,7 +16,6 @@ early_stopping, length-normalised scores -- task_config generation_args).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

@@ -13,7 +13,6 @@ training path uses a causal mask and one fused softmax(QK^T)V.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ uses a single fused softmax(QK^T)V with an additive mask.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ boft_n_butterfly_factor, boft_dropout, bias.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

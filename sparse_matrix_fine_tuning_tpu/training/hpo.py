@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import math
 import traceback
-from typing import Callable, Dict, List
+from typing import Callable, List
 
 import numpy as np
 

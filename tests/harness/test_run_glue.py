@@ -49,3 +49,11 @@ def test_hpo_smoke(tmp_path):
     assert os.path.exists(best)
     hp = json.load(open(best))
     assert "learning_rate" in hp
+
+
+def test_mnli_double_eval(tmp_path):
+    """MNLI reports both matched and mismatched validation metrics
+    (reference run_glue.py:757-787)."""
+    results = _run(tmp_path, ["--num_train_epochs=1"], task="mnli")
+    assert "mnli" in results and "mnli-mm" in results
+    assert "eval_accuracy" in results["mnli-mm"]

@@ -148,3 +148,30 @@ def test_reft_eval_pipeline_with_interventions(tmp_path):
         greedy_decoding=True, max_new_tokens=4)
     assert "eval/MultiArith" in metrics
     assert len(gens) == 8
+
+
+def test_intervention_params_checkpointed(tmp_path):
+    """Intervention params are AdapterParams and land in trainable-only
+    checkpoints (the reference saves an intervenable_model dir,
+    reft_trainer.py:48-67)."""
+    import numpy as np
+    from sparse_matrix_fine_tuning_tpu.training import checkpoint as ckpt
+
+    cfg = LlamaConfig.tiny()
+    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    reft = get_reft_model(base, ReftConfig(representations=[
+        {"layer": 0, "intervention": "LoreftIntervention",
+         "low_rank_dimension": 4}]), rngs=nnx.Rngs(1))
+    filt = trainable_filter()
+    state = nnx.state(reft, filt)
+    paths = {"/".join(map(str, p)) for p, _ in state.flat_state()}
+    assert any("interventions" in p for p in paths)
+    path = ckpt.save(str(tmp_path), 1, state, {"dummy": jnp.zeros(1)})
+    # perturb and restore
+    orig = jax.tree.map(np.asarray, state)
+    zeroed = jax.tree.map(lambda x: x * 0, state)
+    nnx.update(reft, zeroed)
+    restored, _, _ = ckpt.load(path, nnx.state(reft, filt), {"dummy": jnp.zeros(1)})
+    nnx.update(reft, restored)
+    for a, b in zip(jax.tree.leaves(orig), jax.tree.leaves(nnx.state(reft, filt))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
