@@ -254,9 +254,12 @@ def main():
             t.train()
             return t.evaluate()
 
+        os.makedirs(train_args.output_dir, exist_ok=True)
         result = hyperparameter_search(
             run_trial, space, n_trials=args.n_trials, target_metric=target,
-            mode="max", max_epochs=float(train_args.num_train_epochs))
+            mode="max", max_epochs=float(train_args.num_train_epochs),
+            state_path=os.path.join(train_args.output_dir, "hpo_state.jsonl")
+            if args.resume else None)
         best = result["best_hyperparams"]
         save_best_hp(best, train_args.output_dir,
                      cfg_dir if args.as_base_hp else None)

@@ -58,24 +58,43 @@ def hyperparameter_search(
     min_epochs: float = 1.0,
     max_epochs: float = 4.0,
     seed: int = 0,
+    state_path: str | None = None,
 ) -> dict:
     """Successive-halving search.
 
     Args:
       run_trial: (hyperparams, num_epochs) -> metrics dict.  Exceptions are
         tolerated (trial scored worst), like Ray's max_failures.
+      state_path: optional JSONL file; completed (trial, budget) results are
+        appended there and replayed on restart, so a crashed sweep resumes
+        where it stopped (reference run_glue.py:676 Ray resume).
     Returns {"best_hyperparams", "best_metric", "trials"}.
     """
+    import os
     rng = np.random.default_rng(seed)
     trials = [{"hp": _sample(search_space, rng), "id": i} for i in range(n_trials)]
     worst = -math.inf if mode == "max" else math.inf
     sign = 1 if mode == "max" else -1
     budget = min_epochs
     history: List[dict] = []
+    done: dict = {}
+    if state_path and os.path.exists(state_path):
+        for line in open(state_path):
+            rec = json.loads(line)
+            done[(rec["id"], rec["epochs"])] = rec
+        if done:
+            print(f"[hpo] resuming: {len(done)} completed trial evaluations")
     alive = trials
     while alive:
         scored = []
         for t in alive:
+            key = (t["id"], budget)
+            if key in done:
+                rec = done[key]
+                val = rec.get(target_metric, worst)
+                history.append(rec)
+                scored.append((sign * (val if val == val else worst), t))
+                continue
             try:
                 metrics = run_trial(dict(t["hp"]), budget)
                 val = metrics.get(target_metric, worst)
@@ -87,6 +106,9 @@ def hyperparameter_search(
                    target_metric: val}
             history.append(rec)
             print(f"[hpo] {json.dumps(rec)}")
+            if state_path:
+                with open(state_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
             scored.append((sign * (val if val == val else worst), t))
         scored.sort(key=lambda x: -x[0])
         keep = max(1, len(scored) // eta)

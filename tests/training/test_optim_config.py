@@ -170,3 +170,38 @@ def test_sharded_base_actually_sharded(tmp_path):
     bd1 = model.roberta.layer[0].attention.self.query.blkdiag1.value
     assert bd1.sharding.spec == jax.sharding.PartitionSpec() or \
         all(s is None for s in bd1.sharding.spec)
+
+
+def test_hpo_resume(tmp_path):
+    """A crashed sweep resumes from its JSONL state without re-running
+    completed trials (reference Ray resume semantics)."""
+    from sparse_matrix_fine_tuning_tpu.training.hpo import (
+        hyperparameter_search, uniform)
+    state = str(tmp_path / "hpo_state.jsonl")
+    calls = []
+
+    def run_trial(hp, epochs):
+        calls.append((round(hp["x"], 6), epochs))
+        if len(calls) == 3:
+            raise KeyboardInterrupt  # simulate crash mid-sweep
+        return {"m": -abs(hp["x"] - 0.5)}
+
+    try:
+        hyperparameter_search(run_trial, {"x": uniform(0, 1)}, n_trials=4,
+                              target_metric="m", mode="max", min_epochs=1,
+                              max_epochs=1, state_path=state)
+    except KeyboardInterrupt:
+        pass
+    first_calls = len(calls)
+    assert first_calls == 3
+
+    def run_trial2(hp, epochs):
+        calls.append((round(hp["x"], 6), epochs))
+        return {"m": -abs(hp["x"] - 0.5)}
+
+    result = hyperparameter_search(run_trial2, {"x": uniform(0, 1)}, n_trials=4,
+                                   target_metric="m", mode="max", min_epochs=1,
+                                   max_epochs=1, state_path=state)
+    # only the 2 remaining trials ran (2 were recorded before the crash)
+    assert len(calls) == first_calls + 2
+    assert "best_hyperparams" in result
