@@ -338,12 +338,13 @@ def monarch_mm(x: Array, w1: Array, w2: Array, impl: str = "auto") -> Array:
         return monarch_kernel(x, w1, w2, interpret=True)
     # auto: the fused kernel wins on large activations (it reads x once and
     # keeps the intermediate in VMEM); at small sizes XLA's fusion of the
-    # surrounding ops wins -- measured crossover around b*(n+m) ~ 16M els.
+    # surrounding ops wins -- measured crossover around b*(n+m) ~ 4M els
+    # (1024-token micro-batches at 4k dims already benefit).
     on_tpu = jax.default_backend() == "tpu"
     b = 1
     for d in x.shape[:-1]:
         b *= d
-    big = b * (x.shape[-1] + w2.shape[0] * w2.shape[1]) >= (1 << 24)
+    big = b * (x.shape[-1] + w2.shape[0] * w2.shape[1]) >= (1 << 22)
     if on_tpu and supported and big and not jnp.issubdtype(x.dtype, jnp.complexfloating):
         return monarch_kernel(x, w1, w2)
     return blockdiag_butterfly_multiply(x, w1, w2)

@@ -331,7 +331,7 @@ class MonarchLinear(nnx.Module):
         b = 1
         for d in x.shape[:-1]:
             b *= d
-        if self.impl == "auto" and b * (self.in_features + self.out_features) < (1 << 24):
+        if self.impl == "auto" and b * (self.in_features + self.out_features) < (1 << 22):
             return False
         return monarch_kernel_supported(
             self.in_features, self.blkdiag1.value.shape,
