@@ -20,3 +20,14 @@ def test_entry_compiles():
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(len(jax.devices()))
+
+
+def test_dryrun_multichip_self_provisions(capfd):
+    """When asked for more devices than attached, dryrun_multichip must
+    spawn a virtual CPU mesh subprocess rather than assert (the round-1
+    driver failure mode)."""
+    import __graft_entry__ as g
+    want = len(jax.devices()) * 2
+    g.dryrun_multichip(want)
+    out = capfd.readouterr().out
+    assert f"dryrun_multichip({want})" in out and "OK" in out
