@@ -133,7 +133,7 @@ def main():
 
     def lm_loss(model, batch, train):
         logits = model(batch["input_ids"], attention_mask=batch["attention_mask"])
-        return model.loss(logits, batch["labels"])
+        return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
 
     def mmlu_metrics(model, _data):
         if mmlu_eval is None:

@@ -157,7 +157,7 @@ def main():
         if "intervention_locations" in batch:
             kw["intervention_locations"] = batch["intervention_locations"]
         logits = model(batch["input_ids"], attention_mask=batch["attention_mask"], **kw)
-        return model.loss(logits, batch["labels"])
+        return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
 
     def make_trainer(hp=None, epochs=None):
         pc = dict(peft_config)

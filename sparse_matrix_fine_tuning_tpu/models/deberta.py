@@ -310,9 +310,13 @@ class DebertaV2ForSequenceClassification(nnx.Module):
         pooled = self.dropout(pooled, deterministic=deterministic)
         return self.classifier(pooled)
 
-    def loss(self, logits, labels):
+    def loss(self, logits, labels, weights=None):
         if self.config.num_labels == 1:
-            return jnp.mean((logits.squeeze(-1) - labels) ** 2)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).squeeze(-1)
-        return jnp.mean(nll)
+            per_row = (logits.squeeze(-1) - labels) ** 2
+        else:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            per_row = -jnp.take_along_axis(logp, labels[:, None], axis=-1).squeeze(-1)
+        if weights is None:
+            return jnp.mean(per_row)
+        w = weights.astype(per_row.dtype)
+        return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1)

@@ -239,13 +239,19 @@ class LlamaForCausalLM(nnx.Module):
         out = self.logits(hidden)
         return (out, new_caches) if caches is not None else out
 
-    def loss(self, logits: Array, labels: Array, ignore_index: int = -100) -> Array:
+    def loss(self, logits: Array, labels: Array, ignore_index: int = -100,
+             weights: Array | None = None) -> Array:
         """Shifted causal-LM cross-entropy with IGNORE_INDEX masking
         (matches the reference's HF loss + label masking,
-        pyreft/loreft/dataset.py:243-244)."""
+        pyreft/loreft/dataset.py:243-244).
+
+        weights: optional (B,) 0/1 per-row mask for padded ragged-tail rows.
+        """
         shift_logits = logits[:, :-1].astype(jnp.float32)
         shift_labels = labels[:, 1:]
         mask = shift_labels != ignore_index
+        if weights is not None:
+            mask = mask & (weights[:, None] != 0)
         safe = jnp.where(mask, shift_labels, 0)
         logp = jax.nn.log_softmax(shift_logits, axis=-1)
         nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1).squeeze(-1)

@@ -149,7 +149,7 @@ class RobertaModel(nnx.Module):
         self.layer = nnx.List([RobertaLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)])
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None, *,
-                 deterministic=True):
+                 deterministic=None):
         if attention_mask is None:
             attention_mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
         x = self.embeddings(input_ids, token_type_ids, deterministic=deterministic)
@@ -184,15 +184,23 @@ class RobertaForSequenceClassification(nnx.Module):
         self.classifier = RobertaClassificationHead(cfg, rngs=rngs)
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None, *,
-                 deterministic=True):
+                 deterministic=None):
         hidden = self.roberta(input_ids, attention_mask, token_type_ids,
                               deterministic=deterministic)
         return self.classifier(hidden, deterministic=deterministic)
 
-    def loss(self, logits: Array, labels: Array) -> Array:
-        """Classification (CE) or regression (MSE, num_labels==1) loss."""
+    def loss(self, logits: Array, labels: Array, weights: Array | None = None) -> Array:
+        """Classification (CE) or regression (MSE, num_labels==1) loss.
+
+        weights: optional (B,) 0/1 per-row mask -- padded ragged-tail rows
+        must not contribute (mirrors HF Trainer's exact-length eval loop).
+        """
         if self.config.num_labels == 1:
-            return jnp.mean((logits.squeeze(-1) - labels) ** 2)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).squeeze(-1)
-        return jnp.mean(nll)
+            per_row = (logits.squeeze(-1) - labels) ** 2
+        else:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            per_row = -jnp.take_along_axis(logp, labels[:, None], axis=-1).squeeze(-1)
+        if weights is None:
+            return jnp.mean(per_row)
+        w = weights.astype(per_row.dtype)
+        return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1)

@@ -115,7 +115,8 @@ class Trainer:
         if "attention_mask" in batch:
             kwargs["attention_mask"] = batch["attention_mask"]
         logits = model(batch["input_ids"], **kwargs)
-        return model.loss(logits, batch["labels"])
+        lkw = {"weights": batch["_valid"]} if "_valid" in batch else {}
+        return model.loss(logits, batch["labels"], **lkw)
 
     def _n_examples(self, data):
         return len(next(iter(data.values())))
@@ -223,7 +224,6 @@ class Trainer:
                 break
             for batch, _ in self._batches(self.train_data, bs, shuffle=True,
                                           seed=a.seed + epoch):
-                batch.pop("_valid", None)
                 loss = self._train_step(self.model, self.optimizer, batch)
                 running.append(loss)
                 micro += 1
@@ -269,7 +269,6 @@ class Trainer:
         losses, counts = [], []
         for batch, n_valid in self._batches(data, a.per_device_eval_batch_size,
                                             shuffle=False):
-            batch.pop("_valid", None)
             losses.append(float(self._eval_step(self.model, batch)))
             counts.append(n_valid)
         loss = float(np.average(losses, weights=counts)) if losses else float("nan")

@@ -94,3 +94,23 @@ def test_llama_gqa_heads():
     model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
     ids = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, cfg.vocab_size)
     assert model(ids).shape == (2, 8, cfg.vocab_size)
+
+
+def test_roberta_dropout_follows_train_eval_mode():
+    """Training-mode forwards must be stochastic (dropout ON, matching the
+    reference recipe's hidden/attention dropout 0.1) and eval-mode forwards
+    deterministic -- governed by nnx.train()/eval(), not a hardcoded
+    deterministic=True default (round-1 regression)."""
+    cfg = RobertaConfig.tiny()
+    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 2, cfg.vocab_size)
+
+    model.train()
+    a = np.asarray(model(ids))
+    b = np.asarray(model(ids))
+    assert not np.allclose(a, b), "train-mode forwards identical: dropout is off"
+
+    model.eval()
+    c = np.asarray(model(ids))
+    d = np.asarray(model(ids))
+    np.testing.assert_allclose(c, d)

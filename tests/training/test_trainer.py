@@ -107,3 +107,22 @@ def test_resume_from_checkpoint(tmp_path):
     trainer2, _ = _make(tmp_path, save_steps=0)
     trainer2._maybe_resume()
     assert trainer2.step > 0
+
+
+def test_eval_loss_invariant_to_eval_batch_size(tmp_path):
+    """Padded ragged-tail rows must be masked out of the eval loss (the
+    reference HF Trainer evaluates at exact length, reft_trainer.py:92-149).
+    n=61 examples with batch sizes 16 and 32 produce different padding; a
+    contaminated mean would differ between the two."""
+    cfg = RobertaConfig.tiny()
+    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    init_monarch(model, PEFT, rngs=nnx.Rngs(1))
+    data = _synthetic_task(cfg, n=61, seed=3)
+    losses = []
+    for bs in (16, 32, 61):
+        args = TrainingArgs(output_dir=str(tmp_path), logging_steps=0,
+                            log_param_steps=0, per_device_eval_batch_size=bs)
+        t = Trainer(model, args, eval_data=data)
+        losses.append(t.evaluate()["eval_loss"])
+    assert abs(losses[0] - losses[2]) < 2e-4, losses
+    assert abs(losses[1] - losses[2]) < 2e-4, losses
