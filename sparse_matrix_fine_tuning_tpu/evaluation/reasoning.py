@@ -133,11 +133,13 @@ def compute_reasoning_metrics(
             reps = batch_size - len(batch_ids)
             batch_ids = np.concatenate([batch_ids, np.repeat(batch_ids[-1:], reps, 0)])
             batch_mask = np.concatenate([batch_mask, np.repeat(batch_mask[-1:], reps, 0)])
-        hooks = None
+        shifted = None
         if is_reft:
             # shift unpadded (sink-relative) positions by the left padding,
-            # keeping -1 pads; repeat per beam for beam search
-            import jax.numpy as jnp
+            # keeping -1 pads; repeat per beam for beam search.  Locations
+            # are passed as a TRACED array so the compiled decode is reused
+            # across batches (round-1 built per-batch hook closures, forcing
+            # a full retrace+compile per eval batch).
             locs = all_locs[s:s + batch_size]
             if len(locs) < batch_size:
                 locs = np.concatenate(
@@ -147,9 +149,8 @@ def compute_reasoning_metrics(
             shifted = np.where(locs >= 0, locs + shift, -1)
             if gc.num_beams > 1:
                 shifted = np.repeat(shifted, gc.num_beams, axis=0)
-            hooks = model._hooks(jnp.asarray(shifted))
         out = np.asarray(generate(model, batch_ids, batch_mask, gc, rng=rng,
-                                  prefill_hooks=hooks))
+                                  intervention_locations=shifted))
         new_tokens = out[:, ids.shape[1]:]
         for j in range(min(batch_size, n - s)):
             example = data_items[int(ex_ids[s + j])]

@@ -19,7 +19,7 @@ def _resolve_dtype(name):
             "float16": jnp.float16}[name]
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class RobertaConfig:
     vocab_size: int = 50265
     hidden_size: int = 768
@@ -57,7 +57,7 @@ class RobertaConfig:
         return cls(**d)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 32000
     hidden_size: int = 4096

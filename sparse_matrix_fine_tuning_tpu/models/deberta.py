@@ -26,7 +26,7 @@ from flax import nnx
 Array = jax.Array
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class DebertaV2Config:
     vocab_size: int = 128100
     hidden_size: int = 768

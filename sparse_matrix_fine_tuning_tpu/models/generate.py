@@ -1,9 +1,16 @@
 """Autoregressive generation: greedy, sampling, and beam search.
 
 TPU-native decode loop: prompt prefill fills a fixed-size KV cache in one
-pass, then a jitted ``lax.scan`` emits one token per step with static
-shapes throughout (the reference gets decoding from HF ``generate``;
+pass, then a jitted ``lax.while_loop`` emits one token per step with static
+shapes throughout and EARLY EXIT once every sequence has finished (the
+reference gets decoding + early_stopping from HF ``generate``;
 SURVEY.md section 7 lists the scan+kv-cache loop as a hard part).
+
+Compiled decode functions are cached at module level keyed on
+(graphdef, GenerationConfig) -- and intervention locations enter as a
+TRACED array argument so per-batch ReFT positions never force a retrace.
+(Round-1 defined ``@jax.jit`` inside the generate body, recompiling every
+eval batch; for 7-dataset beam-4 math evals that dominated wall-clock.)
 
 Inputs are LEFT-padded (the reference flips padding_side for generation,
 compute_metrics.py:118); positions derive from the attention mask so RoPE
@@ -16,6 +23,7 @@ early_stopping, length-normalised scores -- task_config generation_args).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -29,8 +37,9 @@ Array = jax.Array
 NEG = -1e9
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class GenerationConfig:
+    """Hashable so compiled decode fns can be cached per config."""
     max_new_tokens: int = 32
     eos_token_id: Optional[int] = 2
     pad_token_id: int = 0
@@ -40,6 +49,7 @@ class GenerationConfig:
     top_p: float = 1.0
     top_k: int = 0
     length_penalty: float = 1.0
+    early_stopping: bool = True
 
 
 def _positions_from_mask(mask: Array) -> Array:
@@ -64,84 +74,126 @@ def _sample_logits(logits, key, cfg: GenerationConfig):
     return jax.random.categorical(key, logits, -1)
 
 
+def _resolve_hooks(m, locs, legacy_hooks):
+    """Hooks for the prefill: built in-trace from the traced ``locs`` array
+    (ReftModel._hooks), or the caller's pre-built closures (legacy path)."""
+    if legacy_hooks is not None:
+        return legacy_hooks
+    if locs is not None:
+        return m._hooks(locs)
+    return None
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_greedy(graphdef, cfg: GenerationConfig, has_locs: bool,
+                     legacy_hooks=None):
+    """jit'd greedy/sampling decode; compiled once per (graphdef, cfg,
+    input shapes) and reused across eval batches."""
+
+    @jax.jit
+    def run(state, input_ids, attention_mask, rng, locs):
+        m = nnx.merge(graphdef, state)
+        mcfg = m.config
+        b, t = input_ids.shape
+        total = t + cfg.max_new_tokens
+        dtype = mcfg.compute_dtype or jnp.float32
+        caches = init_caches(mcfg, b, total, dtype)
+        mask_full = jnp.concatenate(
+            [attention_mask, jnp.zeros((b, total - t), attention_mask.dtype)], -1)
+        positions = _positions_from_mask(attention_mask)
+        hooks = _resolve_hooks(m, locs if has_locs else None, legacy_hooks)
+        logits, caches = m(input_ids, attention_mask=mask_full, positions=positions,
+                           caches=caches, cache_index=0,
+                           layer_hooks=hooks)
+        last_logit = logits[:, -1]
+        next_pos = positions[:, -1] + 1  # (b,)
+        out_toks = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
+        finished = jnp.zeros((b,), bool)
+
+        def cond(carry):
+            i, finished = carry[0], carry[5]
+            not_done = i < cfg.max_new_tokens
+            if cfg.early_stopping and cfg.eos_token_id is not None:
+                not_done = not_done & ~jnp.all(finished)
+            return not_done
+
+        def step(carry):
+            i, caches, mask_full, last_logit, pos, finished, rng, out_toks = carry
+            rng, key = jax.random.split(rng)
+            tok = _sample_logits(last_logit, key, cfg)
+            tok = jnp.where(finished, cfg.pad_token_id, tok)
+            if cfg.eos_token_id is not None:
+                finished = finished | (tok == cfg.eos_token_id)
+            out_toks = jax.lax.dynamic_update_slice_in_dim(
+                out_toks, tok[:, None], i, axis=1)
+            # mark the slot we are about to write as attendable
+            slot = t + i
+            mask_full = jax.lax.dynamic_update_slice_in_dim(
+                mask_full, jnp.ones((b, 1), mask_full.dtype), slot, axis=1)
+            logits, caches = m(tok[:, None], attention_mask=mask_full,
+                               positions=pos[:, None], caches=caches,
+                               cache_index=slot)
+            return (i + 1, caches, mask_full, logits[:, 0], pos + 1,
+                    finished, rng, out_toks)
+
+        carry = (jnp.int32(0), caches, mask_full, last_logit, next_pos,
+                 finished, rng, out_toks)
+        carry = jax.lax.while_loop(cond, step, carry)
+        return carry[-1]  # (b, max_new)
+
+    return run
+
+
 def generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
-             rng: Optional[Array] = None, prefill_hooks=None):
+             rng: Optional[Array] = None, prefill_hooks=None,
+             intervention_locations=None):
     """Generate continuations.  input_ids/attention_mask: (B, T) LEFT-padded.
 
-    prefill_hooks: optional {layer: fn} applied during the prompt prefill
-    only (ReFT intervene_on_prompt semantics -- reference
-    compute_metrics.py:172-187).
+    intervention_locations: optional (B, num_interventions, p) TRACED array
+    of ReFT prompt positions (model must expose ``_hooks``); preferred over
+    prefill_hooks because the compiled decode is reused across batches
+    (ReFT intervene_on_prompt semantics -- reference compute_metrics.py:172-187).
+    prefill_hooks: optional {layer: fn} pre-built closures (legacy; forces
+    a fresh compile per call).
 
     Returns (B, T + max_new_tokens) sequences (prompt + generation, padded
     with pad_token_id after EOS).
     """
     if gen_config.num_beams > 1:
         return beam_generate(model, input_ids, attention_mask, gen_config,
-                             prefill_hooks=prefill_hooks)
-    cfg = gen_config
+                             prefill_hooks=prefill_hooks,
+                             intervention_locations=intervention_locations)
     graphdef, state = nnx.split(model)
-    b, t = input_ids.shape
-    total = t + cfg.max_new_tokens
-    mcfg = model.config
-    dtype = mcfg.compute_dtype or jnp.float32
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-
-    @jax.jit
-    def run(state, input_ids, attention_mask, rng):
-        m = nnx.merge(graphdef, state)
-        caches = init_caches(mcfg, b, total, dtype)
-        mask_full = jnp.concatenate(
-            [attention_mask, jnp.zeros((b, total - t), attention_mask.dtype)], -1)
-        positions = _positions_from_mask(attention_mask)
-        logits, caches = m(input_ids, attention_mask=mask_full, positions=positions,
-                           caches=caches, cache_index=0,
-                           layer_hooks=prefill_hooks)
-        last_logit = logits[:, -1]
-        next_pos = positions[:, -1] + 1  # (b,)
-
-        def step(carry, i):
-            caches, mask_full, last_logit, pos, finished, rng = carry
-            rng, key = jax.random.split(rng)
-            tok = _sample_logits(last_logit, key, cfg)
-            tok = jnp.where(finished, cfg.pad_token_id, tok)
-            if cfg.eos_token_id is not None:
-                finished = finished | (tok == cfg.eos_token_id)
-            # mark the slot we are about to write as attendable
-            slot = t + i
-            mask_full = mask_full.at[:, slot].set(1)
-            logits, caches = m(tok[:, None], attention_mask=mask_full,
-                               positions=pos[:, None], caches=caches,
-                               cache_index=slot)
-            return (caches, mask_full, logits[:, 0], pos + 1, finished, rng), tok
-
-        finished = jnp.zeros((b,), bool)
-        (_, _, _, _, _, _), toks = jax.lax.scan(
-            step, (caches, mask_full, last_logit, next_pos, finished, rng),
-            jnp.arange(cfg.max_new_tokens))
-        return toks.T  # (b, max_new)
-
-    toks = run(state, jnp.asarray(input_ids), jnp.asarray(attention_mask), rng)
+    has_locs = intervention_locations is not None
+    if prefill_hooks is not None:
+        # legacy closures are unhashable per-call objects: bypass the cache
+        run = _compiled_greedy.__wrapped__(graphdef, gen_config, False,
+                                           _FreshHooks(prefill_hooks))
+    else:
+        run = _compiled_greedy(graphdef, gen_config, has_locs)
+    locs = jnp.asarray(intervention_locations) if has_locs else None
+    toks = run(state, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+               rng, locs)
     return jnp.concatenate([jnp.asarray(input_ids), toks], axis=-1)
 
 
-def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
-                  prefill_hooks=None):
-    """Beam search with early stopping and length-normalised scoring.
+class _FreshHooks(dict):
+    """Marker dict for the legacy prefill_hooks path (not cached)."""
 
-    prefill_hooks must already be built for the beam-EXPANDED batch (b*K)
-    when interventions are used (the reference repeat-interleaves locations
-    per beam, compute_metrics.py:164-166)."""
-    cfg = gen_config
+
+@functools.lru_cache(maxsize=64)
+def _compiled_beam(graphdef, cfg: GenerationConfig, has_locs: bool,
+                   legacy_hooks=None):
     K = cfg.num_beams
-    graphdef, state = nnx.split(model)
-    b, t = input_ids.shape
-    total = t + cfg.max_new_tokens
-    mcfg = model.config
-    dtype = mcfg.compute_dtype or jnp.float32
 
     @jax.jit
-    def run(state, input_ids, attention_mask):
+    def run(state, input_ids, attention_mask, locs):
         m = nnx.merge(graphdef, state)
+        mcfg = m.config
+        b, t = input_ids.shape
+        total = t + cfg.max_new_tokens
+        dtype = mcfg.compute_dtype or jnp.float32
         bk = b * K
 
         def expand(x):  # (b, ...) -> (b*K, ...)
@@ -153,9 +205,11 @@ def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig
         mask_full = jnp.concatenate(
             [mask_k, jnp.zeros((bk, total - t), mask_k.dtype)], -1)
         positions = _positions_from_mask(mask_k)
+        # locations arrive already beam-expanded (b*K, ...) from the caller
+        hooks = _resolve_hooks(m, locs if has_locs else None, legacy_hooks)
         logits, caches = m(ids_k, attention_mask=mask_full, positions=positions,
                            caches=caches, cache_index=0,
-                           layer_hooks=prefill_hooks)
+                           layer_hooks=hooks)
         last_logit = logits[:, -1]
         next_pos = positions[:, -1] + 1
 
@@ -164,8 +218,16 @@ def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig
         finished = jnp.zeros((bk,), bool)
         out_toks = jnp.full((bk, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
 
-        def step(carry, i):
-            caches, mask_full, last_logit, pos, beam_scores, finished, out_toks = carry
+        def cond(carry):
+            i, finished = carry[0], carry[6]
+            not_done = i < cfg.max_new_tokens
+            if cfg.early_stopping and cfg.eos_token_id is not None:
+                not_done = not_done & ~jnp.all(finished)
+            return not_done
+
+        def step(carry):
+            (i, caches, mask_full, last_logit, pos, beam_scores, finished,
+             out_toks) = carry
             logp = jax.nn.log_softmax(last_logit.astype(jnp.float32), -1)  # (bk, V)
             V = logp.shape[-1]
             # finished beams only extend with pad at no cost
@@ -187,22 +249,24 @@ def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig
             finished = gather(finished)
             out_toks = gather(out_toks)
             tok_flat = tok.reshape(-1)
-            out_toks = out_toks.at[:, i].set(tok_flat)
+            out_toks = jax.lax.dynamic_update_slice_in_dim(
+                out_toks, tok_flat[:, None], i, axis=1)
             beam_scores = top_scores.reshape(-1)
             if cfg.eos_token_id is not None:
                 finished = finished | (tok_flat == cfg.eos_token_id)
             slot = t + i
-            mask_full = mask_full.at[:, slot].set(1)
+            mask_full = jax.lax.dynamic_update_slice_in_dim(
+                mask_full, jnp.ones((bk, 1), mask_full.dtype), slot, axis=1)
             logits, caches = m(tok_flat[:, None], attention_mask=mask_full,
                                positions=pos[:, None], caches=caches,
                                cache_index=slot)
-            return (caches, mask_full, logits[:, 0], pos + 1, beam_scores,
-                    finished, out_toks), None
+            return (i + 1, caches, mask_full, logits[:, 0], pos + 1,
+                    beam_scores, finished, out_toks)
 
-        carry = (caches, mask_full, last_logit, next_pos, beam_scores,
-                 finished, out_toks)
-        carry, _ = jax.lax.scan(step, carry, jnp.arange(cfg.max_new_tokens))
-        _, _, _, _, beam_scores, finished, out_toks = carry
+        carry = (jnp.int32(0), caches, mask_full, last_logit, next_pos,
+                 beam_scores, finished, out_toks)
+        carry = jax.lax.while_loop(cond, step, carry)
+        beam_scores, finished, out_toks = carry[5], carry[6], carry[7]
         # length-normalised selection of the best beam per example
         lengths = jnp.sum(out_toks != cfg.pad_token_id, -1).clip(1)
         norm = beam_scores / (lengths.astype(jnp.float32) ** cfg.length_penalty)
@@ -210,5 +274,23 @@ def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig
         out = out_toks.reshape(b, K, -1)[jnp.arange(b), best]
         return out
 
-    toks = run(state, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+    return run
+
+
+def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
+                  prefill_hooks=None, intervention_locations=None):
+    """Beam search with early stopping and length-normalised scoring.
+
+    intervention_locations / prefill_hooks must already be built for the
+    beam-EXPANDED batch (b*K) when interventions are used (the reference
+    repeat-interleaves locations per beam, compute_metrics.py:164-166)."""
+    graphdef, state = nnx.split(model)
+    has_locs = intervention_locations is not None
+    if prefill_hooks is not None:
+        run = _compiled_beam.__wrapped__(graphdef, gen_config, False,
+                                         _FreshHooks(prefill_hooks))
+    else:
+        run = _compiled_beam(graphdef, gen_config, has_locs)
+    locs = jnp.asarray(intervention_locations) if has_locs else None
+    toks = run(state, jnp.asarray(input_ids), jnp.asarray(attention_mask), locs)
     return jnp.concatenate([jnp.asarray(input_ids), toks], axis=-1)

@@ -101,3 +101,51 @@ def test_beam_search_beats_or_equals_greedy_logprob():
         return lp
 
     assert seq_logprob(beam) >= seq_logprob(greedy) - 1e-3
+
+
+def test_generate_compile_reused_across_batches():
+    """Decode must compile once per (graphdef, shapes, config) and be reused
+    across eval batches -- round 1 rebuilt the jit closure per call, paying a
+    full retrace+compile for every batch of every eval dataset."""
+    from sparse_matrix_fine_tuning_tpu.models.generate import (
+        _compiled_beam,
+        _compiled_greedy,
+    )
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    gc = GenerationConfig(max_new_tokens=3, eos_token_id=None)
+    gcb = GenerationConfig(max_new_tokens=3, eos_token_id=None, num_beams=2)
+    ids1 = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, cfg.vocab_size)
+    ids2 = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 3, cfg.vocab_size)
+    mask = jnp.ones((2, 8), jnp.int32)
+
+    _compiled_greedy.cache_clear()
+    _compiled_beam.cache_clear()
+    generate(model, ids1, mask, gc)
+    generate(model, ids2, mask, gc)
+    assert _compiled_greedy.cache_info().hits >= 1
+    assert _compiled_greedy.cache_info().misses == 1
+
+    generate(model, ids1, mask, gcb)
+    generate(model, ids2, mask, gcb)
+    assert _compiled_beam.cache_info().hits >= 1
+    assert _compiled_beam.cache_info().misses == 1
+
+
+def test_generate_early_stopping_all_eos():
+    """When every sequence hits EOS the while_loop must exit early and the
+    remaining positions stay pad."""
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 3, cfg.vocab_size)
+    mask = jnp.ones((2, 6), jnp.int32)
+    gc0 = GenerationConfig(max_new_tokens=1, eos_token_id=None)
+    first = np.asarray(generate(model, ids, mask, gc0))[:, -1]
+    # make the very first generated token EOS for every row
+    eos = int(first[0])
+    if int(first[1]) != eos:
+        return  # rows disagree; skip (construction-dependent)
+    gc = GenerationConfig(max_new_tokens=8, eos_token_id=eos, pad_token_id=0)
+    out = np.asarray(generate(model, ids, mask, gc))[:, 6:]
+    assert (out[:, 0] == eos).all()
+    assert (out[:, 1:] == 0).all()
