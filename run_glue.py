@@ -136,10 +136,28 @@ def glue_metrics_fn(task):
     return compute
 
 
-def predict_tsv(model, data, task, out_dir):
-    """GLUE-server-format TSV export (reference run_glue.py:789-816)."""
+# GLUE leaderboard submission file names (reference run_glue.py:106-117)
+TASK_TO_SUBMIT = {"cola": "CoLA", "sst2": "SST-2", "mrpc": "MRPC", "qqp": "QQP",
+                  "stsb": "STS-B", "mnli": "MNLI-m", "mnli-mm": "MNLI-mm",
+                  "qnli": "QNLI", "rte": "RTE", "wnli": "WNLI"}
+
+
+def _glue_label_list(task):
+    """Class-index -> label-string mapping pinned by the GLUE server
+    (reference run_glue.py:321-325 + task_configs/labels.json)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "task_configs", "labels.json")
+    with open(path) as f:
+        return json.load(f)[task]
+
+
+def predict_tsv(model, data, task, out_dir, submit_task=None):
+    """GLUE-server-format TSV export (reference run_glue.py:789-816):
+    class indices map through the task label list; STS-B regression is
+    formatted %3.3f; file named per the leaderboard convention."""
     import jax.numpy as jnp
     model.eval()
+    is_regression = task == "stsb"
     preds = []
     n = len(data["input_ids"])
     for s in range(0, n, 64):
@@ -151,14 +169,16 @@ def predict_tsv(model, data, task, out_dir):
             preds.append(np.asarray(jnp.argmax(logits, -1)))
     preds = np.concatenate(preds)
     os.makedirs(out_dir, exist_ok=True)
-    name = {"cola": "CoLA", "sst2": "SST-2", "mrpc": "MRPC", "qqp": "QQP",
-            "stsb": "STS-B", "mnli": "MNLI-m", "qnli": "QNLI", "rte": "RTE",
-            "wnli": "WNLI"}.get(task, task)
-    path = os.path.join(out_dir, f"{name}.tsv")
+    submit_task = submit_task or task
+    label_list = None if is_regression else _glue_label_list(submit_task)
+    path = os.path.join(out_dir, f"{TASK_TO_SUBMIT.get(submit_task, submit_task)}.tsv")
     with open(path, "w") as f:
         f.write("index\tprediction\n")
         for i, p in enumerate(preds):
-            f.write(f"{i}\t{p}\n")
+            if is_regression:
+                f.write(f"{i}\t{p:3.3f}\n")
+            else:
+                f.write(f"{i}\t{label_list[int(p)]}\n")
     print(f"[run_glue] wrote {path}")
     return path
 
@@ -282,10 +302,15 @@ def main():
         mm = trainer.evaluate(data["validation_mismatched"])
         results["mnli-mm"] = mm
     if data_args.do_predict:
-        test_key = "test_matched" if task == "mnli" else "test"
-        if test_key in data:
-            predict_tsv(trainer.model, data[test_key], task,
-                        os.path.join(train_args.output_dir, "predict"))
+        # MNLI double prediction: matched AND mismatched test splits
+        # (reference run_glue.py:792-816)
+        test_splits = [("test_matched", "mnli"), ("test_mismatched", "mnli-mm")] \
+            if task == "mnli" else [("test", task)]
+        for test_key, submit_task in test_splits:
+            if test_key in data:
+                predict_tsv(trainer.model, data[test_key], task,
+                            os.path.join(train_args.output_dir, "predict"),
+                            submit_task=submit_task)
     print(json.dumps(results))
     return results
 

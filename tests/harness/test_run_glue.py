@@ -57,3 +57,29 @@ def test_mnli_double_eval(tmp_path):
     results = _run(tmp_path, ["--num_train_epochs=1"], task="mnli")
     assert "mnli" in results and "mnli-mm" in results
     assert "eval_accuracy" in results["mnli-mm"]
+
+
+def test_predict_tsv_label_strings_and_mnli_mm(tmp_path):
+    """GLUE submission TSVs must contain label STRINGS mapped through the
+    task label list, STS-B formatted %3.3f, and MNLI must export both the
+    matched and mismatched test splits (reference run_glue.py:789-816)."""
+    _run(tmp_path, ["--num_train_epochs=1", "--do_predict=True"], task="mnli")
+    pdir = os.path.join(str(tmp_path), "mnli", "predict")
+    for fname in ("MNLI-m.tsv", "MNLI-mm.tsv"):
+        path = os.path.join(pdir, fname)
+        assert os.path.exists(path), fname
+        with open(path) as f:
+            assert f.readline().strip() == "index\tprediction"
+            for line in list(f)[:5]:
+                idx, pred = line.strip().split("\t")
+                assert pred in ("entailment", "neutral", "contradiction"), pred
+
+    _run(tmp_path, ["--num_train_epochs=1", "--do_predict=True"], task="stsb")
+    path = os.path.join(str(tmp_path), "stsb", "predict", "STS-B.tsv")
+    assert os.path.exists(path)
+    with open(path) as f:
+        f.readline()
+        for line in list(f)[:5]:
+            idx, pred = line.strip().split("\t")
+            assert "." in pred and len(pred.split(".")[1]) == 3, pred
+            float(pred)
