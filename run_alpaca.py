@@ -37,6 +37,11 @@ def parse_args():
                    default=16, type=int)
     p.add_argument("--source_max_len", default=1024, type=int)
     p.add_argument("--target_max_len", default=256, type=int)
+    p.add_argument("--train_on_source", default=False, type=eval,
+                   help="compute loss on the prompt too (reference qlora flag)")
+    p.add_argument("--do_eval", default=True, type=eval)
+    p.add_argument("--eval_dataset_size", default=1024, type=int,
+                   help="held-out examples for eval loss (reference qlora.py)")
     p.add_argument("--do_mmlu_eval", default=True, type=eval)
     p.add_argument("--mmlu_kshot", default=5, type=int)
     p.add_argument("--do_tune", default=False, type=eval)
@@ -93,8 +98,9 @@ def main():
     args, overrides = parse_args()
     import numpy as np
     from sparse_matrix_fine_tuning_tpu.data.mmlu import load_mmlu_items, mmlu_accuracy
-    from sparse_matrix_fine_tuning_tpu.data.reasoning import (
-        load_data_items, tokenize_reasoning)
+    from sparse_matrix_fine_tuning_tpu.data.alpaca import (
+        collate_causal_lm, train_eval_split)
+    from sparse_matrix_fine_tuning_tpu.data.reasoning import load_data_items
     from sparse_matrix_fine_tuning_tpu.data.tokenizer import SimpleTokenizer, get_tokenizer
     from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
     from sparse_matrix_fine_tuning_tpu.training.hpo import (
@@ -113,16 +119,22 @@ def main():
     tokenizer = SimpleTokenizer(vocab_size=SMOKE_VOCAB) if args.smoke \
         else get_tokenizer(args.model, vocab_size=32000)
 
-    max_len = args.source_max_len + args.target_max_len
-    train_items = load_data_items(
+    all_items = load_data_items(
         "alpaca", args.dataset if args.dataset != "alpaca" else "alpaca_data_cleaned",
         args.data_dir, split="train", max_n_example=args.max_n_train_example,
         seed=args.seed, smoke=args.smoke)
-    train_data = tokenize_reasoning("alpaca", train_items, tokenizer,
-                                    max_length=min(max_len, 256 if args.smoke else max_len),
-                                    split="train")
-    train_data = {k: v for k, v in train_data.items()
-                  if k in ("input_ids", "attention_mask", "labels")}
+    if args.do_eval:
+        train_items, eval_items = train_eval_split(
+            all_items, args.eval_dataset_size, seed=args.seed)
+    else:
+        train_items, eval_items = all_items, None
+    src_len, tgt_len = ((128, 64) if args.smoke
+                        else (args.source_max_len, args.target_max_len))
+    collate = lambda items: collate_causal_lm(
+        items, tokenizer, source_max_len=src_len, target_max_len=tgt_len,
+        train_on_source=args.train_on_source)
+    train_data = collate(train_items)
+    eval_data = collate(eval_items) if eval_items else None
 
     mmlu_eval = mmlu_dev = None
     if args.do_mmlu_eval:
@@ -155,7 +167,7 @@ def main():
         if hp:
             override_config([ta, pc], hp)
         model = build_model(args, pc)
-        return Trainer(model, ta, train_data=train_data, eval_data=train_data,
+        return Trainer(model, ta, train_data=train_data, eval_data=eval_data,
                        loss_fn=lm_loss, compute_metrics=mmlu_metrics)
 
     if args.do_tune:

@@ -1,0 +1,83 @@
+"""Alpaca-style causal-LM collation with INDEPENDENT source/target
+truncation -- the qlora data path.
+
+Mirrors the reference's DataCollatorForCausalLM semantics
+(reference qlora/qlora_monarch.py:322-378):
+  * source = BOS + formatted prompt, truncated to ``source_max_len``
+  * target = output + EOS, truncated to ``target_max_len`` (independently,
+    so a long prompt cannot eat the answer's budget and vice versa)
+  * labels = IGNORE_INDEX over the source span + the target ids, unless
+    ``train_on_source`` (then labels copy the full sequence)
+  * ``predict_with_generate`` keeps only the source ids (no labels)
+  * right-padded; attention mask = not-pad
+
+Static-shape note (TPU): the reference pads per batch to the batch max;
+here all rows pad to one fixed ``source_max_len + target_max_len`` bucket
+so the jitted train step compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from sparse_matrix_fine_tuning_tpu.data.reasoning import IGNORE_INDEX, build_prompt
+
+
+def collate_causal_lm(items: Sequence[dict], tokenizer, *,
+                      source_max_len: int = 1024, target_max_len: int = 256,
+                      train_on_source: bool = False,
+                      predict_with_generate: bool = False,
+                      task: str = "alpaca"):
+    """Returns {input_ids, attention_mask[, labels]} as numpy arrays."""
+    eos = getattr(tokenizer, "eos_token", None) or "</s>"
+    pad_id = tokenizer.pad_token_id
+    rows_ids, rows_labels = [], []
+    for item in items:
+        prompt, full = build_prompt(task, item, "")
+        target_text = full[len(prompt):]
+        # BOS carried by the source (reference prepends tokenizer.bos_token)
+        src = tokenizer.encode_ids(prompt, add_bos=True)[:source_max_len]
+        tgt = (tokenizer.encode_ids(target_text, add_bos=False)
+               + [tokenizer.eos_token_id])[:target_max_len]
+        if predict_with_generate:
+            rows_ids.append(src)
+            rows_labels.append(None)
+            continue
+        ids = src + tgt
+        if train_on_source:
+            labels = list(ids)
+        else:
+            labels = [IGNORE_INDEX] * len(src) + list(tgt)
+        rows_ids.append(ids)
+        rows_labels.append(labels)
+
+    total = source_max_len + (0 if predict_with_generate else target_max_len)
+    maxlen = min(max(len(r) for r in rows_ids), total)
+    n = len(rows_ids)
+    input_ids = np.full((n, maxlen), pad_id, np.int32)
+    attention_mask = np.zeros((n, maxlen), np.int32)
+    labels = np.full((n, maxlen), IGNORE_INDEX, np.int32)
+    for i, ids in enumerate(rows_ids):
+        L = min(len(ids), maxlen)
+        input_ids[i, :L] = ids[:L]
+        attention_mask[i, :L] = 1
+        if rows_labels[i] is not None:
+            labels[i, :L] = rows_labels[i][:L]
+    out = {"input_ids": input_ids, "attention_mask": attention_mask}
+    if not predict_with_generate:
+        out["labels"] = labels
+    return out
+
+
+def train_eval_split(items: Sequence[dict], eval_dataset_size: int, seed: int = 42):
+    """Held-out eval split (reference qlora.py eval_dataset_size /
+    train_test_split; round 1 evaluated loss on the training set)."""
+    items = list(items)
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(items))
+    n_eval = max(1, min(int(eval_dataset_size), len(items) // 5))
+    eval_items = [items[i] for i in idx[:n_eval]]
+    train_items = [items[i] for i in idx[n_eval:]]
+    return train_items, eval_items

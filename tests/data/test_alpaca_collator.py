@@ -1,0 +1,55 @@
+"""qlora collator parity: independent source/target truncation,
+train_on_source, predict_with_generate (reference qlora_monarch.py:322-378)."""
+
+import numpy as np
+
+from sparse_matrix_fine_tuning_tpu.data.alpaca import (
+    collate_causal_lm,
+    train_eval_split,
+)
+from sparse_matrix_fine_tuning_tpu.data.templates import IGNORE_INDEX
+from sparse_matrix_fine_tuning_tpu.data.tokenizer import SimpleTokenizer
+
+ITEMS = [
+    {"instruction": "add 2 and 2", "input": "", "output": "4"},
+    {"instruction": "repeat " * 300, "input": "ctx", "output": "word " * 200},
+]
+
+
+def test_independent_truncation():
+    tok = SimpleTokenizer(vocab_size=512)
+    out = collate_causal_lm(ITEMS, tok, source_max_len=64, target_max_len=16)
+    labels, mask = out["labels"], out["attention_mask"]
+    # long row: source capped at 64 (all IGNORE), target capped at 16
+    row = 1
+    n_src = int((labels[row] == IGNORE_INDEX).sum() - (mask[row] == 0).sum())
+    assert n_src == 64
+    assert int((labels[row] != IGNORE_INDEX).sum()) == 16
+    # short row unaffected: target tokens supervised, source masked
+    assert int((labels[0] != IGNORE_INDEX).sum()) >= 1
+
+
+def test_train_on_source_supervises_prompt():
+    tok = SimpleTokenizer(vocab_size=512)
+    out = collate_causal_lm(ITEMS, tok, source_max_len=64, target_max_len=16,
+                            train_on_source=True)
+    valid = out["attention_mask"][0] == 1
+    np.testing.assert_array_equal(out["labels"][0][valid],
+                                  out["input_ids"][0][valid])
+
+
+def test_predict_with_generate_source_only():
+    tok = SimpleTokenizer(vocab_size=512)
+    out = collate_causal_lm(ITEMS, tok, source_max_len=64, target_max_len=16,
+                            predict_with_generate=True)
+    assert "labels" not in out
+    assert out["input_ids"].shape[1] <= 64
+
+
+def test_train_eval_split_held_out():
+    items = [{"instruction": f"q{i}", "input": "", "output": str(i)}
+             for i in range(40)]
+    tr, ev = train_eval_split(items, eval_dataset_size=5, seed=0)
+    assert len(ev) == 5 and len(tr) == 35
+    seen = {x["instruction"] for x in tr}
+    assert all(x["instruction"] not in seen for x in ev)

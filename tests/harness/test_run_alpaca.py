@@ -1,0 +1,37 @@
+"""Alpaca (qlora-flow) harness smoke: held-out eval + collator wiring."""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+
+def _run(tmp_path, extra=()):
+    import run_alpaca
+    argv = ["run_alpaca.py", "--smoke=True", f"--output_dir={tmp_path}",
+            "--epochs=1", "--logging_steps=0", "--batch_size=8",
+            "--gradient_accumulation_steps=1", "--do_mmlu_eval=True",
+            "--max_n_train_example=64", "--eval_dataset_size=8"] + list(extra)
+    old = sys.argv
+    sys.argv = argv
+    try:
+        return run_alpaca.main()
+    finally:
+        sys.argv = old
+
+
+def test_alpaca_smoke_held_out_eval(tmp_path):
+    """Eval loss must come from a HELD-OUT split (round 1 evaluated on the
+    training set) and MMLU A/B/C/D accuracy must be reported."""
+    metrics = _run(tmp_path)
+    assert "eval_loss" in metrics and metrics["eval_loss"] > 0
+    assert "eval_mmlu_eval_accuracy" in metrics
+    path = os.path.join(str(tmp_path), "alpaca", "eval_results.json")
+    assert os.path.exists(path)
+
+
+def test_alpaca_train_on_source_flag(tmp_path):
+    metrics = _run(tmp_path, ["--train_on_source=True", "--do_mmlu_eval=False"])
+    assert "eval_loss" in metrics
