@@ -125,10 +125,19 @@ def main():
         per_device_train_batch_size=args.batch_size,
         logging_steps=args.logging_steps, log_param_steps=0,
         lr_scheduler_type="cosine")
+    from sparse_matrix_fine_tuning_tpu.utils.logging import (
+        RunLogger, get_run_group, watch_layers)
+    logger = RunLogger(ta.output_dir, group=get_run_group(task_name="agnews"),
+                       name=f"agnews_{args.method}",
+                       config={"method": args.method})
     trainer = Trainer(model, ta, train_data=data["train"], eval_data=data["test"],
                       compute_metrics=compute_metrics,
-                      extra_trainable_paths=extra_paths)
+                      extra_trainable_paths=extra_paths, logger=logger)
+    if args.method != "full":
+        watch_layers(trainer.model, logger)
     metrics = trainer.train()
+    logger.log({"step": trainer.step, **metrics})
+    logger.finish()
     result = {"method": args.method, "trainable_params": int(trainable),
               "total_params": int(total), **metrics}
     print(json.dumps(result))

@@ -154,7 +154,7 @@ def main():
                              k_shot=args.mmlu_kshot if not args.smoke else 1,
                              max_length=256 if args.smoke else 2048)
 
-    def make_trainer(hp=None, epochs=None):
+    def make_trainer(hp=None, epochs=None, logger=None):
         pc = dict(peft_config)
         ta = TrainingArgs(
             output_dir=out_dir, learning_rate=args.lr,
@@ -168,7 +168,8 @@ def main():
             override_config([ta, pc], hp)
         model = build_model(args, pc)
         return Trainer(model, ta, train_data=train_data, eval_data=eval_data,
-                       loss_fn=lm_loss, compute_metrics=mmlu_metrics)
+                       loss_fn=lm_loss, compute_metrics=mmlu_metrics,
+                       logger=logger)
 
     if args.do_tune:
         space = {"learning_rate": loguniform(5e-5, 1e-3),
@@ -189,8 +190,20 @@ def main():
     else:
         hp = load_best_hp(out_dir)
 
-    trainer = make_trainer(hp)
+    from sparse_matrix_fine_tuning_tpu.utils.logging import (
+        RunLogger, get_run_group, watch_layers)
+    os.makedirs(out_dir, exist_ok=True)
+    logger = RunLogger(out_dir, group=get_run_group(task_name=args.dataset,
+                                                    do_tune=args.do_tune),
+                       name=f"{args.dataset}_final",
+                       config={"dataset": args.dataset, "bits": args.bits,
+                               "hp": hp or {}})
+    trainer = make_trainer(hp, logger=logger)
+    watch_layers(trainer.model, logger)
     metrics = trainer.train()
+    logger.log({"step": trainer.step, **metrics})
+    watch_layers(trainer.model, logger)
+    logger.finish()
     print(json.dumps(metrics))
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "eval_results.json"), "w") as f:

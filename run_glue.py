@@ -242,7 +242,10 @@ def main():
     data = tokenize_glue(task, raw, tokenizer, data_args.max_seq_length)
     val_key = "validation_matched" if task == "mnli" else "validation"
 
-    def make_trainer(hp=None, epochs=None):
+    from sparse_matrix_fine_tuning_tpu.utils.logging import RunLogger, get_run_group
+    run_group = get_run_group(task_name=task, do_tune=args.do_tune)
+
+    def make_trainer(hp=None, epochs=None, logger=None):
         ta = dataclasses.replace(train_args)
         pc = dict(peft_config)
         if hp:
@@ -255,7 +258,7 @@ def main():
                             use_boft=args.boft)
         return Trainer(model, ta, train_data=data["train"],
                        eval_data=data[val_key],
-                       compute_metrics=glue_metrics_fn(task))
+                       compute_metrics=glue_metrics_fn(task), logger=logger)
 
     target = f"eval_{GLUE_TARGET_METRIC[task]}"
 
@@ -289,7 +292,15 @@ def main():
     else:
         hp = load_best_hp(train_args.output_dir, cfg_dir)
 
-    trainer = make_trainer(hp)
+    # metrics.jsonl (+wandb when available) with reference-style run grouping
+    # and adapter-layer watching (reference train_utils.py:235-247, 521-549)
+    logger = RunLogger(train_args.output_dir, group=run_group,
+                       name=f"{task}_final",
+                       config={"task": task, "peft_config": peft_config,
+                               "hp": hp or {}})
+    trainer = make_trainer(hp, logger=logger)
+    from sparse_matrix_fine_tuning_tpu.utils.logging import watch_layers
+    watch_layers(trainer.model, logger)
     if args.profile:
         import jax
         jax.profiler.start_trace(os.path.join(train_args.output_dir, "profile"))
@@ -297,6 +308,9 @@ def main():
     if args.profile:
         import jax
         jax.profiler.stop_trace()
+    logger.log({"step": trainer.step, **metrics})
+    watch_layers(trainer.model, logger)
+    logger.finish()
     results = {f"{task}": metrics}
     if task == "mnli" and "validation_mismatched" in data:
         mm = trainer.evaluate(data["validation_mismatched"])

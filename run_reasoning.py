@@ -159,7 +159,7 @@ def main():
         logits = model(batch["input_ids"], attention_mask=batch["attention_mask"], **kw)
         return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
 
-    def make_trainer(hp=None, epochs=None):
+    def make_trainer(hp=None, epochs=None, logger=None):
         pc = dict(peft_config)
         ta = TrainingArgs(
             output_dir=out_dir, learning_rate=args.lr,
@@ -177,7 +177,8 @@ def main():
         if args.mesh_fsdp:
             from sparse_matrix_fine_tuning_tpu.parallel import make_mesh
             mesh = make_mesh(fsdp=args.mesh_fsdp)
-        return Trainer(model, ta, train_data=train_data, loss_fn=lm_loss, mesh=mesh)
+        return Trainer(model, ta, train_data=train_data, loss_fn=lm_loss,
+                       mesh=mesh, logger=logger)
 
     def eval_all(model, greedy=True, max_new=None):
         results = {}
@@ -225,10 +226,21 @@ def main():
     else:
         hp = load_best_hp(out_dir)
 
-    trainer = make_trainer(hp)
+    from sparse_matrix_fine_tuning_tpu.utils.logging import (
+        RunLogger, get_run_group, watch_layers)
+    logger = RunLogger(out_dir, group=get_run_group(task_name=args.task,
+                                                    do_tune=args.do_tune),
+                       name=f"{args.task}_final",
+                       config={"task": args.task, "hp": hp or {}})
+    trainer = make_trainer(hp, logger=logger)
+    watch_layers(trainer.model, logger)
     trainer.train()
     results = eval_all(trainer.model, greedy=args.greedy_decoding,
                        max_new=smoke_new)
+    logger.log({"step": trainer.step, **{f"eval_{k}": v for k, v in results.items()
+                                         if isinstance(v, (int, float))}})
+    watch_layers(trainer.model, logger)
+    logger.finish()
     print(json.dumps(results))
     with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -241,6 +241,9 @@ class Trainer:
                         self.logger.log(rec)
                 if a.log_param_steps and self.step % a.log_param_steps == 0:
                     param_stats(self.model, extra_paths=self.extra_paths)
+                    if self.logger is not None:
+                        from sparse_matrix_fine_tuning_tpu.utils.logging import watch_layers
+                        watch_layers(self.model, self.logger)
                 if a.eval_steps and self.step % a.eval_steps == 0 and self.eval_data is not None:
                     self._do_eval()
                     self.model.train()

@@ -35,3 +35,12 @@ def test_alpaca_smoke_held_out_eval(tmp_path):
 def test_alpaca_train_on_source_flag(tmp_path):
     metrics = _run(tmp_path, ["--train_on_source=True", "--do_mmlu_eval=False"])
     assert "eval_loss" in metrics
+
+
+def test_alpaca_metrics_jsonl(tmp_path):
+    import json
+    _run(tmp_path, ["--do_mmlu_eval=False", "--logging_steps=1"])
+    path = os.path.join(str(tmp_path), "alpaca", "metrics.jsonl")
+    assert os.path.exists(path)
+    recs = [json.loads(line) for line in open(path)]
+    assert any(k.startswith("watch/") for r in recs for k in r)

@@ -83,3 +83,16 @@ def test_predict_tsv_label_strings_and_mnli_mm(tmp_path):
             idx, pred = line.strip().split("\t")
             assert "." in pred and len(pred.split(".")[1]) == 3, pred
             float(pred)
+
+
+def test_metrics_jsonl_written(tmp_path):
+    """The RunLogger must actually be wired into the harness (round 1 left
+    it dead code): a smoke run produces metrics.jsonl with train records,
+    final eval metrics, and watch/ layer stats."""
+    _run(tmp_path, ["--num_train_epochs=2", "--logging_steps=1"])
+    path = os.path.join(str(tmp_path), "cola", "metrics.jsonl")
+    assert os.path.exists(path)
+    recs = [json.loads(line) for line in open(path)]
+    assert any("loss" in r for r in recs)
+    assert any(k.startswith("watch/") for r in recs for k in r)
+    assert any("eval_matthews_correlation" in r for r in recs)
