@@ -159,6 +159,10 @@ def load_data_items(task: str, dataset_name: str, data_dir: str,
                     smoke: bool = False, smoke_n: int = 64):
     """Load the raw item dicts from local JSON (LLM-Adapters layout:
     {data_dir}/{dataset_name}/{split}.json) or synthesize for smoke runs."""
+    # synthetic data is seeded by dataset_name so a 7-dataset eval loop sees
+    # 7 DIFFERENT datasets (round 1 produced identical accuracies everywhere)
+    import zlib
+    syn_seed = seed + zlib.crc32(f"{dataset_name}/{split}".encode()) % 100003
     if not smoke:
         for cand in (os.path.join(data_dir, dataset_name, f"{split}.json"),
                      os.path.join(data_dir, f"{dataset_name}.json")):
@@ -168,9 +172,9 @@ def load_data_items(task: str, dataset_name: str, data_dir: str,
                 break
         else:
             print(f"[reasoning] no local data for {dataset_name}; using synthetic")
-            items = _synthetic_items(task, smoke_n, seed)
+            items = _synthetic_items(task, smoke_n, syn_seed)
     else:
-        items = _synthetic_items(task, smoke_n, seed)
+        items = _synthetic_items(task, smoke_n, syn_seed)
     # HPO split semantics (reference loreft/dataset.py:170-194)
     tcfg = TASK_CONFIG.get(task, {})
     num_eval = tcfg.get("_num_eval")

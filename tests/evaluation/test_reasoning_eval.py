@@ -93,3 +93,16 @@ def test_reasoning_harness_smoke(tmp_path):
     assert 0.0 <= results["eval/average"] <= 1.0
     assert os.path.exists(os.path.join(str(tmp_path), "math", "eval_results.json"))
     assert os.path.exists(os.path.join(str(tmp_path), "math", "generations.json"))
+
+
+def test_synthetic_datasets_distinct_per_name():
+    """Smoke-mode eval data must differ per dataset so the multi-dataset
+    eval loop is actually exercised (round 1 reported identical accuracy
+    for all 7 math datasets)."""
+    from sparse_matrix_fine_tuning_tpu.data.reasoning import load_data_items
+    names = ["gsm8k", "SVAMP", "mawps", "AQuA"]
+    sets = [load_data_items("math", n, "dataset", split="test", smoke=True)
+            for n in names]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            assert sets[i] != sets[j], (names[i], names[j])
