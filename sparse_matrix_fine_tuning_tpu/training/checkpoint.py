@@ -4,10 +4,12 @@ The reference saves only ``requires_grad`` params (adapter checkpoints are
 MBs, not GBs -- train_utils.py:297-307) and resumes by scanning
 ``checkpoint-*`` dirs with a ``completed`` marker (train_utils.py:575-589).
 
-Format: the trainable NNX state and optimizer state are flattened to leaf
-lists and stored in one ``.npz`` per tree; restore unflattens against the
-live state's treedef, so structure always matches the running model and the
-frozen base is never written.
+Format: the trainable NNX state and optimizer state are stored in one
+``.npz`` per tree with entries KEYED BY TREE PATH (e.g.
+``layers/3/q_proj/blkdiag1``), so a checkpoint survives structural
+reordering of unrelated parts and any model/optimizer mismatch fails
+loudly by NAME -- a positional ``leaf_{i}`` layout (round 1) silently
+misaligns older checkpoints after any structure change.
 """
 
 from __future__ import annotations
@@ -21,26 +23,48 @@ import jax
 import numpy as np
 
 
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
 def _save_tree(path: str, tree) -> None:
-    leaves = jax.tree.leaves(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)
-              if hasattr(x, "shape") or np.isscalar(x)}
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    arrays = {}
+    for p, x in flat:
+        if hasattr(x, "shape") or np.isscalar(x):
+            key = _path_str(p)
+            assert key not in arrays, f"duplicate checkpoint key {key!r}"
+            arrays[key] = np.asarray(x)
     np.savez(path, **arrays)
 
 
-def _load_tree(path: str, template):
+def _load_tree(path: str, template, strict: bool = False):
     data = np.load(path, allow_pickle=False)
-    leaves, treedef = jax.tree.flatten(template)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    legacy = data.files and all(k.startswith("leaf_") for k in data.files)
     new_leaves = []
-    for i, tmpl in enumerate(leaves):
-        key = f"leaf_{i}"
+    for i, (p, tmpl) in enumerate(flat):
+        key = f"leaf_{i}" if legacy else _path_str(p)
         if key in data.files:
             arr = data[key]
             if hasattr(tmpl, "shape"):
                 assert arr.shape == tuple(tmpl.shape), (
-                    f"checkpoint leaf {i} shape {arr.shape} != template {tmpl.shape}")
+                    f"checkpoint entry {key!r} shape {arr.shape} != "
+                    f"live state {tuple(tmpl.shape)}")
                 arr = jax.numpy.asarray(arr, dtype=tmpl.dtype)
             new_leaves.append(arr)
+        elif strict and (hasattr(tmpl, "shape") or np.isscalar(tmpl)):
+            raise KeyError(f"checkpoint at {path} is missing entry {key!r}")
         else:
             new_leaves.append(tmpl)
     return jax.tree.unflatten(treedef, new_leaves)
@@ -82,7 +106,8 @@ def _prune(output_dir: str, limit: int):
 def load(path: str, trainable_template, opt_state_template):
     """Restore (trainable, opt_state, meta) using the live states as
     structural templates."""
-    trainable = _load_tree(os.path.join(path, "trainable.npz"), trainable_template)
+    trainable = _load_tree(os.path.join(path, "trainable.npz"),
+                           trainable_template, strict=True)
     opt_path = os.path.join(path, "opt_state.npz")
     opt_state = opt_state_template
     if os.path.exists(opt_path):

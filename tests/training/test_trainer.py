@@ -126,3 +126,33 @@ def test_eval_loss_invariant_to_eval_batch_size(tmp_path):
         losses.append(t.evaluate()["eval_loss"])
     assert abs(losses[0] - losses[2]) < 2e-4, losses
     assert abs(losses[1] - losses[2]) < 2e-4, losses
+
+
+def test_checkpoint_keys_are_paths_and_mismatch_fails(tmp_path):
+    """Checkpoint entries are keyed by tree path (not position): loading
+    into a structurally different model fails loudly by name instead of
+    silently misaligning (round-1 weakness)."""
+    import numpy as _np
+    from sparse_matrix_fine_tuning_tpu.training import checkpoint as ckpt_lib
+
+    trainer, _ = _make(tmp_path)
+    path = trainer.save_checkpoint(tag="t")
+    data = _np.load(os.path.join(path, "trainable.npz"))
+    assert all("/" in k or not k.startswith("leaf_") for k in data.files)
+    assert any("blkdiag1" in k for k in data.files)
+
+    # a SUBSET model (fewer adapted modules) restores cleanly by name ...
+    cfg = RobertaConfig.tiny()
+    sub = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    init_monarch(sub, dict(PEFT, target_modules=["query"]), rngs=nnx.Rngs(1))
+    args = TrainingArgs(output_dir=str(tmp_path), logging_steps=0, log_param_steps=0)
+    t2 = Trainer(sub, args, eval_data=_synthetic_task(cfg, n=8))
+    t2.load_checkpoint(path)
+    got = np.asarray(jax.tree.leaves(
+        nnx.state(sub, t2.filt))[0])
+    # ... but a SHAPE mismatch at the same path fails loudly
+    other = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    init_monarch(other, dict(PEFT, blk_r=8), rngs=nnx.Rngs(1))
+    t3 = Trainer(other, args, eval_data=_synthetic_task(cfg, n=8))
+    with pytest.raises((KeyError, AssertionError)):
+        t3.load_checkpoint(path)
