@@ -272,15 +272,21 @@ def main():
             space["blk_r"] = choice([2, 4, 8, 16])
             space["nblocks"] = choice([2, 4, 8])
 
-        def run_trial(hp, epochs):
+        def run_trial(hp, epochs, trial_id):
+            # per-trial dir + resume: a survivor's next rung EXTENDS its
+            # training from the last checkpoint instead of restarting
+            # (Ray keeps per-trial checkpoints; round 1 re-ran from scratch)
+            trial_dir = os.path.join(train_args.output_dir, f"trial_{trial_id}")
+            hp = dict(hp, output_dir=trial_dir)
             t = make_trainer(hp, epochs)
-            t.train()
+            t.train(resume=True)
             return t.evaluate()
 
         os.makedirs(train_args.output_dir, exist_ok=True)
         result = hyperparameter_search(
             run_trial, space, n_trials=args.n_trials, target_metric=target,
             mode="max", max_epochs=float(train_args.num_train_epochs),
+            parallel_trials=args.parallel_trials,
             state_path=os.path.join(train_args.output_dir, "hpo_state.jsonl")
             if args.resume else None)
         best = result["best_hyperparams"]

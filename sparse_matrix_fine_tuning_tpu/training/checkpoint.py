@@ -119,13 +119,15 @@ def load(path: str, trainable_template, opt_state_template):
     return trainable, opt_state, meta
 
 
-def get_last_checkpoint(output_dir: str):
+def get_last_checkpoint(output_dir: str, *, even_if_completed: bool = False):
     """(last_checkpoint_path_or_None, completed) -- reference
-    train_utils.py:575-589 semantics."""
+    train_utils.py:575-589 semantics.  ``even_if_completed`` returns the
+    path regardless of the ``completed`` marker (budget-extension resume:
+    an HPO survivor's next rung continues a finished shorter run)."""
     if not os.path.isdir(output_dir):
         return None, False
     completed = os.path.exists(os.path.join(output_dir, "completed"))
-    if completed:
+    if completed and not even_if_completed:
         return None, True
     max_step, best = 0, None
     for d in os.listdir(output_dir):

@@ -59,18 +59,29 @@ def hyperparameter_search(
     max_epochs: float = 4.0,
     seed: int = 0,
     state_path: str | None = None,
+    parallel_trials: int = 1,
 ) -> dict:
     """Successive-halving search.
 
     Args:
       run_trial: (hyperparams, num_epochs) -> metrics dict.  Exceptions are
-        tolerated (trial scored worst), like Ray's max_failures.
+        tolerated (trial scored worst), like Ray's max_failures.  If the
+        callable accepts a third positional arg it receives the trial id --
+        use it for a per-trial output dir + ``resume=True`` so rung budgets
+        EXTEND earlier training instead of re-running from scratch
+        (the reference's Ray trials keep their checkpoints per trial dir).
       state_path: optional JSONL file; completed (trial, budget) results are
         appended there and replayed on restart, so a crashed sweep resumes
         where it stopped (reference run_glue.py:676 Ray resume).
+      parallel_trials: run up to this many trials of a rung concurrently
+        (the reference places concurrent Ray trials across devices,
+        run_glue.py:663-686; here concurrency rides threads -- effective
+        when trials target different hosts/meshes or overlap host work).
     Returns {"best_hyperparams", "best_metric", "trials"}.
     """
+    import inspect
     import os
+
     rng = np.random.default_rng(seed)
     trials = [{"hp": _sample(search_space, rng), "id": i} for i in range(n_trials)]
     worst = -math.inf if mode == "max" else math.inf
@@ -78,15 +89,30 @@ def hyperparameter_search(
     budget = min_epochs
     history: List[dict] = []
     done: dict = {}
+    takes_id = len(inspect.signature(run_trial).parameters) >= 3
     if state_path and os.path.exists(state_path):
         for line in open(state_path):
             rec = json.loads(line)
             done[(rec["id"], rec["epochs"])] = rec
         if done:
             print(f"[hpo] resuming: {len(done)} completed trial evaluations")
+
+    def execute(t):
+        try:
+            args = (dict(t["hp"]), budget) + ((t["id"],) if takes_id else ())
+            metrics = run_trial(*args)
+            val = metrics.get(target_metric, worst)
+        except Exception as e:
+            print(f"[hpo] trial {t['id']} failed: {type(e).__name__}: {e}")
+            traceback.print_exc()
+            val = worst
+        return {"id": t["id"], "hp": t["hp"], "epochs": budget,
+                target_metric: val}
+
     alive = trials
     while alive:
         scored = []
+        pending = []
         for t in alive:
             key = (t["id"], budget)
             if key in done:
@@ -94,22 +120,23 @@ def hyperparameter_search(
                 val = rec.get(target_metric, worst)
                 history.append(rec)
                 scored.append((sign * (val if val == val else worst), t))
-                continue
-            try:
-                metrics = run_trial(dict(t["hp"]), budget)
-                val = metrics.get(target_metric, worst)
-            except Exception as e:
-                print(f"[hpo] trial {t['id']} failed: {type(e).__name__}: {e}")
-                traceback.print_exc()
-                metrics, val = {}, worst
-            rec = {"id": t["id"], "hp": t["hp"], "epochs": budget,
-                   target_metric: val}
-            history.append(rec)
-            print(f"[hpo] {json.dumps(rec)}")
-            if state_path:
-                with open(state_path, "a") as f:
-                    f.write(json.dumps(rec) + "\n")
-            scored.append((sign * (val if val == val else worst), t))
+            else:
+                pending.append(t)
+        if pending:
+            if parallel_trials > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=parallel_trials) as ex:
+                    recs = list(ex.map(execute, pending))
+            else:
+                recs = [execute(t) for t in pending]
+            for t, rec in zip(pending, recs):
+                val = rec[target_metric]
+                history.append(rec)
+                print(f"[hpo] {json.dumps(rec)}")
+                if state_path:
+                    with open(state_path, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
+                scored.append((sign * (val if val == val else worst), t))
         scored.sort(key=lambda x: -x[0])
         keep = max(1, len(scored) // eta)
         if len(alive) == 1 or budget >= max_epochs:

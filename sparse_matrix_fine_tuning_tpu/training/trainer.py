@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import math
 import time
 from typing import Callable, Iterable, Optional
@@ -321,7 +322,20 @@ class Trainer:
             self.step = meta["step"]
 
     def _maybe_resume(self):
-        last, completed = ckpt_lib.get_last_checkpoint(self.args.output_dir)
-        if last and not completed:
-            print(f"Resuming from {last}")
-            self.load_checkpoint(last)
+        last, completed = ckpt_lib.get_last_checkpoint(
+            self.args.output_dir, even_if_completed=True)
+        if last is None:
+            return
+        meta_path = os.path.join(last, "meta.json")
+        ckpt_step = 0
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                ckpt_step = json.load(f).get("step", 0)
+        if completed and ckpt_step >= self.num_training_steps():
+            return  # genuinely finished at this budget
+        if completed:
+            # budget extension (HPO rung growth): continue the finished
+            # shorter run instead of restarting from scratch
+            os.remove(os.path.join(self.args.output_dir, "completed"))
+        print(f"Resuming from {last}")
+        self.load_checkpoint(last)

@@ -35,10 +35,11 @@ def _make(tmp_path, mesh=None, **args_kw):
     model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
     init_monarch(model, PEFT, rngs=nnx.Rngs(1))
     data = _synthetic_task(cfg)
-    args = TrainingArgs(
-        output_dir=str(tmp_path), learning_rate=5e-3, num_train_epochs=3,
-        per_device_train_batch_size=16, logging_steps=0, log_param_steps=0,
-        warmup_ratio=0.0, **args_kw)
+    kw = dict(output_dir=str(tmp_path), learning_rate=5e-3, num_train_epochs=3,
+              per_device_train_batch_size=16, logging_steps=0, log_param_steps=0,
+              warmup_ratio=0.0)
+    kw.update(args_kw)
+    args = TrainingArgs(**kw)
     return Trainer(model, args, train_data=data, eval_data=data, mesh=mesh), data
 
 
@@ -156,3 +157,35 @@ def test_checkpoint_keys_are_paths_and_mismatch_fails(tmp_path):
     t3 = Trainer(other, args, eval_data=_synthetic_task(cfg, n=8))
     with pytest.raises((KeyError, AssertionError)):
         t3.load_checkpoint(path)
+
+
+def test_hpo_budget_extends_from_checkpoint(tmp_path):
+    """A survivor's larger rung budget must RESUME from its checkpoint, not
+    restart: after a completed 1-epoch run, a 3-epoch trainer picks up at
+    the saved step (round-1 weakness: budgets multiplied training cost)."""
+    t1, data = _make(tmp_path, num_train_epochs=1)
+    t1.train()
+    steps_1ep = t1.step
+    assert steps_1ep > 0
+    t2, _ = _make(tmp_path, num_train_epochs=3)
+    t2._maybe_resume()
+    assert t2.step == steps_1ep, "did not resume from the completed 1-epoch run"
+    t2.train(resume=True)
+    assert t2.step == t2.num_training_steps() > steps_1ep
+
+
+def test_hpo_parallel_trials_run():
+    from sparse_matrix_fine_tuning_tpu.training.hpo import (
+        choice, hyperparameter_search)
+    calls = []
+
+    def run_trial(hp, epochs, trial_id):
+        calls.append((trial_id, epochs))
+        return {"eval_loss": hp["x"]}
+
+    res = hyperparameter_search(
+        run_trial, {"x": choice([1.0, 2.0, 3.0])}, n_trials=4,
+        target_metric="eval_loss", mode="min", max_epochs=2.0,
+        parallel_trials=2)
+    assert res["best_hyperparams"]["x"] == min(h["hp"]["x"] for h in res["trials"])
+    assert {c[0] for c in calls} == {0, 1, 2, 3}
