@@ -33,6 +33,8 @@ def parse_args():
     p.add_argument("--boft", default=False, type=eval)
     p.add_argument("--do_tune", default=False, type=eval)
     p.add_argument("--n_trials", default=8, type=int)
+    p.add_argument("--parallel_trials", default=1, type=int,
+                   help="concurrent trials per rung (Ray trial placement equiv.)")
     p.add_argument("--smoke", default=False, type=eval,
                    help="synthetic data + tiny model (no pretrained weights)")
     p.add_argument("--tune_blk_config", default=False, type=eval)

@@ -16,6 +16,56 @@ import numpy as np
 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import expand_monarch_factors
 from sparse_matrix_fine_tuning_tpu.kernels.more_linear import _more_dw_call
 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import _extract_dw
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def dw_call_v2(x2d, dout2d, w1bd, w2hat, ts=256):
+    def kernel(x_ref, dout_ref, w1bd_ref, w2hat_ref, dw1bd_ref, dw2hat_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw1bd_ref[...] = jnp.zeros(dw1bd_ref.shape, dw1bd_ref.dtype)
+            dw2hat_ref[...] = jnp.zeros(dw2hat_ref.shape, dw2hat_ref.dtype)
+
+        x = x_ref[...]
+        dout = dout_ref[...]
+        out1 = jnp.dot(x, w1bd_ref[...], preferred_element_type=jnp.float32
+                       ).astype(x.dtype)
+        dw2hat_ref[...] += jax.lax.dot_general(
+            out1, dout, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dout1 = jax.lax.dot_general(
+            dout, w2hat_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        dw1bd_ref[...] += jax.lax.dot_general(
+            x, dout1, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    b, n = x2d.shape
+    m = dout2d.shape[1]
+    kq = w1bd.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(b, ts),),
+        in_specs=[
+            pl.BlockSpec((ts, n), lambda i: (i, 0)),
+            pl.BlockSpec((ts, m), lambda i: (i, 0)),
+            pl.BlockSpec((n, kq), lambda i: (0, 0)),
+            pl.BlockSpec((kq, m), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, kq), lambda i: (0, 0)),
+            pl.BlockSpec((kq, m), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, kq), jnp.float32),
+            jax.ShapeDtypeStruct((kq, m), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(x2d, dout2d, w1bd, w2hat)
 from sparse_matrix_fine_tuning_tpu.ops.monarch import blockdiag_butterfly_multiply
 
 
@@ -46,6 +96,21 @@ def make_merged_apply(dw_impl):
                                  ).astype(x.dtype)
         if dw_impl == "pallas":
             dw1bd, dw2hat = _more_dw_call(x, dout, w1bd, w2hat, False)
+            dw1, dw2 = _extract_dw(dw1bd, dw2hat, w1.shape, w2.shape)
+        elif dw_impl == "pallas_v2":
+            dw1bd, dw2hat = dw_call_v2(x, dout, w1bd, w2hat)
+            dw1, dw2 = _extract_dw(dw1bd, dw2hat, w1.shape, w2.shape)
+        elif dw_impl == "jnp_expanded":
+            # relayout-free: four plain matmuls on the expanded factors
+            out1f = jnp.dot(x, w1bd, preferred_element_type=jnp.float32
+                            ).astype(x.dtype)
+            dw2hat = jax.lax.dot_general(out1f, dout, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            dout1f = jax.lax.dot_general(dout, w2hat, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32
+                                         ).astype(x.dtype)
+            dw1bd = jax.lax.dot_general(x, dout1f, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
             dw1, dw2 = _extract_dw(dw1bd, dw2hat, w1.shape, w2.shape)
         else:
             xb = x.reshape(-1, k, p)
@@ -161,7 +226,7 @@ def main():
 
     t_xla = timed("xla-unfused", macro_xla)
 
-    for dw_impl in ("jnp", "pallas"):
+    for dw_impl in ("jnp", "jnp_expanded"):
         apply_fn = make_merged_apply(dw_impl)
 
         def macro_merged(w1_, w2_, xs, apply_fn=apply_fn):

@@ -336,15 +336,12 @@ def monarch_mm(x: Array, w1: Array, w2: Array, impl: str = "auto") -> Array:
     if impl == "pallas_interpret":
         assert supported
         return monarch_kernel(x, w1, w2, interpret=True)
-    # auto: the fused kernel wins on large activations (it reads x once and
-    # keeps the intermediate in VMEM); at small sizes XLA's fusion of the
-    # surrounding ops wins -- measured crossover around b*(n+m) ~ 4M els
-    # (1024-token micro-batches at 4k dims already benefit).
-    on_tpu = jax.default_backend() == "tpu"
-    b = 1
-    for d in x.shape[:-1]:
-        b *= d
-    big = b * (x.shape[-1] + w2.shape[0] * w2.shape[1]) >= (1 << 22)
-    if on_tpu and supported and big and not jnp.issubdtype(x.dtype, jnp.complexfloating):
-        return monarch_kernel(x, w1, w2)
+    # auto: ALWAYS the XLA path.  Under honest (slope-based, fixed-dispatch-
+    # cancelling) timing, XLA's "unfused" op runs at ~78% of the HBM
+    # roofline at every shape tried and the expanded-weight kernel never
+    # beats it (its K-fold FLOP expansion hits the MXU wall as blk_r grows;
+    # see docs/BENCHMARKS.md "What we learned re-measuring round 1").  The
+    # round-1 crossover was an artifact of ~24 ms/dispatch noise.  The
+    # Pallas kernel remains opt-in (impl="pallas") and the fused-add /
+    # merged-training layer paths are where real wins live.
     return blockdiag_butterfly_multiply(x, w1, w2)

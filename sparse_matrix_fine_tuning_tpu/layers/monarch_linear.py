@@ -69,6 +69,12 @@ DEFAULT_PEFT_CONFIG: dict[str, Any] = {
 }
 
 
+class MergedCache(nnx.Variable):
+    """Per-step cache of the merged dense+adapter operand (kernels/merged.py).
+    Not an ``nnx.Param``: never trained, never checkpointed, refreshed by the
+    trainer at the top of every optimizer step."""
+
+
 class AdapterParam(nnx.Param):
     """Trainable adapter parameter.  Optimizers/surgery filter on this type;
     everything that is a plain ``nnx.Param`` stays frozen during PEFT."""
@@ -208,6 +214,10 @@ class MonarchLinear(nnx.Module):
         self.blkdiag1 = AdapterParam(bd1)
         self.blkdiag2 = AdapterParam(bd2)
         self.dense = nnx.data(nnx.Param(dense_w) if dense_w is not None else None)
+        # merged-training cache (kernels/merged.py); None until the trainer
+        # enables it via enable_merged_training()
+        self.wm_cache = nnx.data(None)
+        self.wm_t_cache = nnx.data(None)
         self.quant_bits = 0  # set by quant.quantize_frozen_base
         self.quant_group = 0
         self.dense_scales = nnx.data(None)
@@ -337,11 +347,64 @@ class MonarchLinear(nnx.Module):
             self.in_features, self.blkdiag1.value.shape,
             self.blkdiag2.value.shape, x.dtype.itemsize)
 
+    # ------------------------------------------------------------------
+    # merge-during-training (kernels/merged.py): the frozen dense and the
+    # adapter collapse into ONE matmul operand refreshed once per optimizer
+    # step -- forward and input-gradient adapter overhead drop to zero.
+    def can_merge_train(self) -> bool:
+        """Plain additive adapter only: output dropout/scaler/mult-factor
+        wrap the monarch branch and cannot fold into the merged operand."""
+        return (self.as_adapter and self.dense is not None
+                and self.dropout is None and self.scaler is None
+                and not self.use_mult_factor and not self.quant_bits)
+
+    def _build_merged(self):
+        from sparse_matrix_fine_tuning_tpu.kernels.merged import build_merged_operands
+        dense = self.dense.value
+        if self.dtype is not None:
+            dense = dense.astype(self.dtype)  # cache in compute dtype
+        return build_merged_operands(
+            dense, self.blkdiag1.value.astype(dense.dtype),
+            self.blkdiag2.value.astype(dense.dtype))
+
+    def enable_merged_training(self) -> None:
+        assert self.can_merge_train()
+        wm, wm_t = self._build_merged()
+        self.wm_cache = MergedCache(wm)
+        self.wm_t_cache = MergedCache(wm_t)
+
+    def refresh_merged(self) -> None:
+        """Rebuild the merged operands from the CURRENT factors; the trainer
+        calls this (in-jit) at the top of every optimizer step, so the cache
+        is never stale during training."""
+        if self.wm_cache is None:
+            return
+        wm, wm_t = self._build_merged()
+        self.wm_cache.value = wm
+        self.wm_t_cache.value = wm_t
+
+    def disable_merged_training(self) -> None:
+        self.wm_cache = nnx.data(None)
+        self.wm_t_cache = nnx.data(None)
+
+    def _merged_forward(self, x: Array) -> Array:
+        from sparse_matrix_fine_tuning_tpu.kernels.merged import merged_apply
+        wm = self.wm_cache.value  # already in compute dtype (_build_merged)
+        x = x.astype(wm.dtype)
+        return merged_apply(x, wm, self.wm_t_cache.value,
+                            self.blkdiag1.value.astype(wm.dtype),
+                            self.blkdiag2.value.astype(wm.dtype))
+
     def __call__(self, x: Array, *, deterministic=None) -> Array:
         if self.as_adapter:
             assert self.dense is not None, (
                 "adapter mode requires frozen dense weights (pass `weights=`) "
                 "or set as_adapter=False")
+            if self.wm_cache is not None and not self.merged:
+                out = self._merged_forward(x)
+                if self.bias is not None:
+                    out = out + self.bias.value.astype(out.dtype)
+                return out
             out = self._dense_forward(x)
             if not self.merged and self._can_fuse_add(x):
                 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (

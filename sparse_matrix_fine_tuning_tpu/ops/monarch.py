@@ -146,12 +146,27 @@ def _bbm_fwd(x, w1, w2):
     return out, (x, w1, w2, out1)
 
 
-def _bbm_bwd(res, dout):
-    x, w1, w2, out1 = res
+def monarch_dw(x: Array, dout: Array, w1: Array, w2: Array,
+               out1: Array | None = None):
+    """Factor gradients (dw1, dw2) of the monarch multiply from the layer
+    input and output cotangent alone -- the skinny memory-bound pass shared
+    by the autograd backward and the merged-training backward
+    (kernels/merged.py).  ``out1``: optionally pass the saved post-shuffle
+    intermediate (b, l, r); recomputed from x otherwise.
+
+    Also returns dout1_kq (b, k, q) so callers that need dx can finish it
+    with one more batched matmul."""
     *batch, n = x.shape
     k, q, p = w1.shape
     l, s, r = w2.shape
     pet = _pet(x.dtype)
+    xb = x.reshape(-1, k, p)
+    if out1 is None:
+        o1 = jax.lax.dot_general(
+            xb, w1, dimension_numbers=(((2,), (2,)), ((1,), (0,))),
+            preferred_element_type=pet)  # (k, b, q)
+        out1 = o1.transpose(1, 0, 2).reshape(-1, r, l).transpose(0, 2, 1)
+        out1 = out1.astype(x.dtype)  # (b, l, r)
     doutb = dout.reshape(-1, s, l).transpose(2, 0, 1).astype(x.dtype)  # (l, b, s)
     # dw2[l, s, r] = sum_b dout[l, b, s] * out1[b, l, r]  (JAX vjp = pure transpose, no conj)
     dw2 = jax.lax.dot_general(
@@ -168,6 +183,21 @@ def _bbm_bwd(res, dout):
     dout1 = dout1.astype(x.dtype)
     # undo shuffle: (b, l, r) -> (b, (r l)) == (b, (k q)) -> (b, k, q)
     dout1_kq = dout1.transpose(1, 2, 0).reshape(-1, k, q)
+    # dw1[k, q, p] = sum_b dout1[b, k, q] * x[b, k, p]
+    dw1 = jax.lax.dot_general(
+        dout1_kq, xb,
+        dimension_numbers=(((0,), (0,)), ((1,), (1,))),
+        preferred_element_type=pet,
+    )  # (k, q, p)
+    return dw1.astype(w1.dtype), dw2.astype(w2.dtype), dout1_kq
+
+
+def _bbm_bwd(res, dout):
+    x, w1, w2, out1 = res
+    *batch, n = x.shape
+    k, q, p = w1.shape
+    pet = _pet(x.dtype)
+    dw1, dw2, dout1_kq = monarch_dw(x, dout, w1, w2, out1=out1)
     # dx[b, k, p] = sum_q dout1[b, k, q] * w1[k, q, p]
     dx = jax.lax.dot_general(
         dout1_kq, w1,
@@ -175,14 +205,7 @@ def _bbm_bwd(res, dout):
         preferred_element_type=pet,
     )  # (k, b, p)
     dx = dx.astype(x.dtype).transpose(1, 0, 2).reshape(*batch, n)
-    # dw1[k, q, p] = sum_b dout1[b, k, q] * x[b, k, p]
-    xb = x.reshape(-1, k, p)
-    dw1 = jax.lax.dot_general(
-        dout1_kq, xb,
-        dimension_numbers=(((0,), (0,)), ((1,), (1,))),
-        preferred_element_type=pet,
-    )  # (k, q, p)
-    return dx, dw1.astype(w1.dtype), dw2.astype(w2.dtype)
+    return dx, dw1, dw2
 
 
 blockdiag_butterfly_multiply.defvjp(_bbm_fwd, _bbm_bwd)

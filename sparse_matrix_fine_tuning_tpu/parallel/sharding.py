@@ -21,8 +21,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over both mesh axes."""
+def batch_sharding(mesh: Mesh, macro: bool = False) -> NamedSharding:
+    """Shard the (batch) axis over both mesh axes.  ``macro`` batches are
+    shaped (accum_steps, batch, ...): the scan axis stays unsharded and the
+    per-micro batch axis is data-parallel."""
+    if macro:
+        return NamedSharding(mesh, P(None, ("dp", "fsdp")))
     return NamedSharding(mesh, P(("dp", "fsdp")))
 
 

@@ -1,10 +1,13 @@
 from sparse_matrix_fine_tuning_tpu.peft.boft import BOFTLinear, init_boft
 from sparse_matrix_fine_tuning_tpu.peft.surgery import (
+    disable_merged_training,
+    enable_merged_training,
     find_all_linear_names,
     init_lora,
     init_monarch,
     merge_all_adapters,
     param_stats,
+    refresh_merged,
     trainable_filter,
     unmerge_all_adapters,
 )
@@ -12,11 +15,14 @@ from sparse_matrix_fine_tuning_tpu.peft.surgery import (
 __all__ = [
     "BOFTLinear",
     "init_boft",
+    "disable_merged_training",
+    "enable_merged_training",
     "find_all_linear_names",
     "init_lora",
     "init_monarch",
     "merge_all_adapters",
     "param_stats",
+    "refresh_merged",
     "trainable_filter",
     "unmerge_all_adapters",
 ]

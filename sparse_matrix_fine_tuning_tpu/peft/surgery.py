@@ -222,3 +222,36 @@ def init_lora(
             setattr(parent, name, lora)
         adapted.append(name)
     return adapted
+
+
+def enable_merged_training(model: nnx.Module) -> int:
+    """Enable merge-during-training (kernels/merged.py) on every eligible
+    MonarchLinear.  Returns the number of layers enabled.  Costs one extra
+    dense-sized cache pair per layer -- intended for memory-comfortable
+    configs; the fused-add path remains the fallback."""
+    count = 0
+    for _, _, child in _iter_parents(model):
+        if isinstance(child, MonarchLinear) and child.can_merge_train():
+            child.enable_merged_training()
+            count += 1
+    return count
+
+
+def refresh_merged(model: nnx.Module) -> int:
+    """Rebuild every merged-training cache from the current factors.
+    jit-safe: the trainer calls this at the top of each optimizer step."""
+    count = 0
+    for _, _, child in _iter_parents(model):
+        if isinstance(child, MonarchLinear) and getattr(child, "wm_cache", None) is not None:
+            child.refresh_merged()
+            count += 1
+    return count
+
+
+def disable_merged_training(model: nnx.Module) -> int:
+    count = 0
+    for _, _, child in _iter_parents(model):
+        if isinstance(child, MonarchLinear) and getattr(child, "wm_cache", None) is not None:
+            child.disable_merged_training()
+            count += 1
+    return count

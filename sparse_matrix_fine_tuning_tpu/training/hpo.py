@@ -97,6 +97,9 @@ def hyperparameter_search(
         if done:
             print(f"[hpo] resuming: {len(done)} completed trial evaluations")
 
+    import threading
+    state_lock = threading.Lock()
+
     def execute(t):
         try:
             args = (dict(t["hp"]), budget) + ((t["id"],) if takes_id else ())
@@ -106,8 +109,15 @@ def hyperparameter_search(
             print(f"[hpo] trial {t['id']} failed: {type(e).__name__}: {e}")
             traceback.print_exc()
             val = worst
-        return {"id": t["id"], "hp": t["hp"], "epochs": budget,
-                target_metric: val}
+        rec = {"id": t["id"], "hp": t["hp"], "epochs": budget,
+               target_metric: val}
+        print(f"[hpo] {json.dumps(rec)}")
+        if state_path:
+            # record immediately (not at rung end) so a crash mid-rung
+            # loses at most the in-flight trial
+            with state_lock, open(state_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return rec
 
     alive = trials
     while alive:
@@ -132,10 +142,6 @@ def hyperparameter_search(
             for t, rec in zip(pending, recs):
                 val = rec[target_metric]
                 history.append(rec)
-                print(f"[hpo] {json.dumps(rec)}")
-                if state_path:
-                    with open(state_path, "a") as f:
-                        f.write(json.dumps(rec) + "\n")
                 scored.append((sign * (val if val == val else worst), t))
         scored.sort(key=lambda x: -x[0])
         keep = max(1, len(scored) // eta)

@@ -69,6 +69,10 @@ class TrainingArgs:
     use_scaler: bool = False
     log_param_steps: int = 900
     bf16: bool = False
+    # merge-during-training (kernels/merged.py): "auto" enables it on every
+    # eligible MonarchLinear (costs one dense-sized cache pair per layer --
+    # pass "off" for memory-tight single-chip 7B runs)
+    merged_training: str = "auto"
 
 
 class Trainer:
@@ -137,7 +141,19 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build(self):
         a = self.args
+        # merge-during-training: collapse frozen dense + adapter into one
+        # matmul operand, refreshed once per optimizer step (kernels/merged.py)
+        self._n_merged = 0
+        if a.merged_training != "off":
+            from sparse_matrix_fine_tuning_tpu.peft.surgery import (
+                enable_merged_training)
+            self._n_merged = enable_merged_training(self.model)
+
         total = self.num_training_steps() if self.train_data is not None else 1
+        G = max(a.gradient_accumulation_steps, 1)
+        # gradient accumulation runs INSIDE the jitted step (lax.scan over
+        # micro-batches): one dispatch per optimizer step, and the merged
+        # operands hoist out of the scan -- so no optax.MultiSteps here
         self.tx = build_optimizer(
             self.trainable,
             learning_rate=a.learning_rate,
@@ -149,58 +165,100 @@ class Trainer:
             new_lr=a.new_lr,
             use_scaler=a.use_scaler,
             max_grad_norm=a.max_grad_norm,
-            gradient_accumulation_steps=a.gradient_accumulation_steps,
+            gradient_accumulation_steps=1,
         )
         self.optimizer = nnx.Optimizer(self.model, self.tx, wrt=self.filt)
 
         if self.mesh is not None:
-            # frozen base FSDP-sharded; adapters + optimizer state replicated
+            from sparse_matrix_fine_tuning_tpu.layers.monarch_linear import MergedCache
+            # frozen base (and merged caches) FSDP-sharded; adapters +
+            # optimizer state replicated
             frozen_params = nnx.All(nnx.Param, nnx.Not(self.filt))
             nnx.update(self.model,
                        shard_state(nnx.state(self.model, frozen_params), self.mesh))
+            nnx.update(self.model,
+                       shard_state(nnx.state(self.model, nnx.OfType(MergedCache)),
+                                   self.mesh))
             nnx.update(self.model,
                        shard_state(self.trainable, self.mesh, replicate=True))
             nnx.update(self.optimizer,
                        shard_state(nnx.state(self.optimizer), self.mesh, replicate=True))
 
         filt, loss_fn = self.filt, self.loss_fn
+        n_merged = self._n_merged
+
+        def refresh(model):
+            if n_merged:
+                from sparse_matrix_fine_tuning_tpu.peft.surgery import refresh_merged
+                refresh_merged(model)
+
+        def inner(m, b):
+            return loss_fn(m, b, True)
 
         # donate model+optimizer state: without this the step holds input
         # AND output copies of every parameter (fatal at 7B scale)
         @nnx.jit(donate_argnums=(0, 1))
         def train_step(model, optimizer, batch):
-            def inner(m, b):
-                return loss_fn(m, b, True)
+            refresh(model)
             loss, grads = nnx.value_and_grad(
                 inner, argnums=nnx.DiffState(0, filt))(model, batch)
             optimizer.update(model, grads)
             return loss
+
+        @nnx.jit(donate_argnums=(0, 1))
+        def train_step_accum(model, optimizer, batch):
+            # batch leaves: (G, micro_bs, ...); scan accumulates grads so the
+            # merged operands (and any other step-invariant work) hoist out
+            refresh(model)
+            zero = jax.tree.map(lambda v: jnp.zeros(v.shape, jnp.float32),
+                                nnx.state(model, filt))
+
+            @nnx.scan(in_axes=(nnx.Carry, 0), out_axes=nnx.Carry)
+            def micro(carry, mb):
+                model, gacc, lacc = carry
+                loss, grads = nnx.value_and_grad(
+                    inner, argnums=nnx.DiffState(0, filt))(model, mb)
+                gacc = jax.tree.map(lambda acm, g: acm + g.astype(acm.dtype),
+                                    gacc, grads)
+                return (model, gacc, lacc + loss)
+
+            model, gacc, lacc = micro((model, zero, jnp.float32(0)), batch)
+            grads = jax.tree.map(lambda g: g / G, gacc)
+            optimizer.update(model, grads)
+            return lacc / G
 
         @nnx.jit
         def eval_step(model, batch):
             return loss_fn(model, batch, False)
 
         self._train_step = train_step
+        self._train_step_accum = train_step_accum
         self._eval_step = eval_step
 
     # ------------------------------------------------------------------
-    def _batches(self, data, batch_size, shuffle=True, seed=0):
+    def _batches(self, data, batch_size, shuffle=True, seed=0, accum=1):
+        """Yield (batch, n_valid).  accum>1 yields macro batches with leaves
+        reshaped to (accum, batch_size, ...) for the in-jit scan."""
         n = self._n_examples(data)
         idx = np.arange(n)
         if shuffle:
             np.random.default_rng(seed).shuffle(idx)
-        for start in range(0, n, batch_size):
-            sel = idx[start:start + batch_size]
+        macro = batch_size * max(accum, 1)
+        for start in range(0, n, macro):
+            sel = idx[start:start + macro]
             batch = {k: v[sel] for k, v in data.items()}
-            if len(sel) < batch_size:
+            if len(sel) < macro:
                 # pad ragged tail for static shapes (single compilation)
-                pad = batch_size - len(sel)
+                pad = macro - len(sel)
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                          for k, v in batch.items()}
                 batch["_valid"] = np.concatenate(
                     [np.ones(len(sel), np.int32), np.zeros(pad, np.int32)])
+            if accum > 1:
+                batch = {k: v.reshape(accum, batch_size, *v.shape[1:])
+                         for k, v in batch.items()}
             if self.mesh is not None:
-                sh = batch_sharding(self.mesh)
+                sh = batch_sharding(self.mesh, macro=accum > 1)
                 batch = {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -214,22 +272,19 @@ class Trainer:
         total_steps = self.num_training_steps()
         bs = a.per_device_train_batch_size
         epochs = int(math.ceil(a.num_train_epochs))
-        micro_per_step = max(a.gradient_accumulation_steps, 1)
+        G = max(a.gradient_accumulation_steps, 1)
+        step_fn = self._train_step_accum if G > 1 else self._train_step
         t0 = time.time()
         running = []
-        micro = 0
         done = False
         self.model.train()
         for epoch in range(epochs):
             if done:
                 break
             for batch, _ in self._batches(self.train_data, bs, shuffle=True,
-                                          seed=a.seed + epoch):
-                loss = self._train_step(self.model, self.optimizer, batch)
+                                          seed=a.seed + epoch, accum=G):
+                loss = step_fn(self.model, self.optimizer, batch)
                 running.append(loss)
-                micro += 1
-                if micro % micro_per_step:
-                    continue
                 self.step += 1
                 if a.logging_steps and self.step % a.logging_steps == 0:
                     mean_loss = float(jnp.mean(jnp.stack(running)))
@@ -269,6 +324,11 @@ class Trainer:
     def evaluate(self, eval_data: Optional[dict] = None) -> dict:
         data = eval_data if eval_data is not None else self.eval_data
         a = self.args
+        if self._n_merged:
+            # caches are refreshed at the TOP of each train step, so they
+            # trail the last optimizer update by one -- refresh before eval
+            from sparse_matrix_fine_tuning_tpu.peft.surgery import refresh_merged
+            refresh_merged(self.model)
         self.model.eval()
         losses, counts = [], []
         for batch, n_valid in self._batches(data, a.per_device_eval_batch_size,

@@ -1,11 +1,22 @@
 """Trustworthy TPU timing.
 
-Two hazards through remote/async runtimes: repeat calls with identical args
-can be elided, and ``block_until_ready`` may return before remote execution
-finishes.  Recipe that measures true device time: run N iterations inside
-ONE jitted ``lax.fori_loop`` whose carry chains each step's result into the
-next step's input (a real data dependency), and time the FETCH of the final
-scalar to host (np.asarray), after a warmup fetch drains the queue.
+Three hazards through remote/async runtimes, each observed on this chip:
+  1. repeat calls with identical args can be elided;
+  2. ``block_until_ready`` may return before remote execution finishes;
+  3. every dispatched executable pays a LARGE fixed cost (~24 ms through
+     the tunnel), which at 30-50 loop iterations adds 500-800 us/iter of
+     pure noise to naive per-iter numbers -- enough to drown a 100 us op.
+
+Recipe that measures true device time per iteration: run N iterations
+inside ONE jitted ``lax.fori_loop`` whose carry chains each step's result
+into the next step's input (a real data dependency, beats 1+2), time the
+FETCH of the final scalar to host, and do this at TWO iteration counts --
+the per-iteration time is the SLOPE (t_hi - t_lo) / (n_hi - n_lo), which
+cancels the fixed dispatch cost exactly (beats 3).
+
+The chained dependency flows through a caller-chosen argument; chain
+through a SMALL operand (e.g. a weight factor) so the harness's own carry
+traffic doesn't shadow a memory-bound op.
 """
 
 from __future__ import annotations
@@ -15,58 +26,83 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _tree_nudge(x, s):
+    """x + tiny*s with a real runtime dependency on scalar s."""
+    return jax.tree.map(lambda a: a + (s * 1e-30).astype(a.dtype), x)
+
+
+def _run_loop(loop, args, iters):
+    out = loop(*args, jnp.int32(iters))
+    t0 = time.perf_counter()
+    float(np.asarray(out))
+    # queue drained by the fetch; re-run timed end-to-end
+    t0 = time.perf_counter()
+    float(np.asarray(loop(*args, jnp.int32(iters))))
+    return time.perf_counter() - t0
 
 
 def time_grad_steps(loss_fn: Callable, args: Sequence, *, argnums=(0,),
-                    iters: int = 20, warmup: bool = True) -> float:
-    """Seconds per fwd+bwd of ``loss_fn(*args)``.
+                    iters: int = 50, warmup: bool = True,
+                    chain_argnum: int | None = None) -> float:
+    """Seconds per fwd+bwd of ``loss_fn(*args)`` (slope-based).
 
-    loss_fn must return a scalar; args[argnums[0]] must be a float array
-    (the gradient is chained into it between iterations).
+    loss_fn must return a scalar.  The gradient of args[chain] is chained
+    into the next iteration's input; pass ``chain_argnum`` to select a small
+    operand (defaults to argnums[0]).
     """
     args = list(args)
+    chain = argnums[0] if chain_argnum is None else chain_argnum
     vg = jax.value_and_grad(loss_fn, argnums=argnums)
 
     @jax.jit
-    def loop(*args):
+    def loop(*args_and_n):
+        *args_, n = args_and_n
+
         def body(i, carry):
             a0, acc = carry
-            cur = list(args)
-            cur[argnums[0]] = a0
+            cur = list(args_)
+            cur[chain] = a0
             loss, grads = vg(*cur)
-            # chain: next input depends on this step's gradient
-            a0 = a0 + grads[0].astype(a0.dtype) * jnp.asarray(1e-12, a0.dtype)
+            # consume EVERY gradient so no backward branch is dead code
+            s = sum(jnp.sum(g.astype(jnp.float32))
+                    for g in jax.tree.leaves(grads)) + loss
+            a0 = _tree_nudge(a0, s)
             return (a0, acc + loss)
-        (a0, acc) = jax.lax.fori_loop(
-            0, iters, body, (args[argnums[0]], jnp.float32(0)))[0:2]
+
+        a0, acc = jax.lax.fori_loop(0, n, body, (args_[chain], jnp.float32(0)))
         return acc
 
-    import numpy as np
-    if warmup:
-        float(np.asarray(loop(*args)))
-    t0 = time.perf_counter()
-    float(np.asarray(loop(*args)))
-    return (time.perf_counter() - t0) / iters
+    lo, hi = iters, iters * 3
+    t_lo = _run_loop(loop, args, lo)
+    t_hi = _run_loop(loop, args, hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
 
-def time_fn(fn: Callable, args: Sequence, *, iters: int = 20,
-            warmup: bool = True) -> float:
-    """Seconds per forward of fn(*args) with a chained data dependency."""
+def time_fn(fn: Callable, args: Sequence, *, iters: int = 50,
+            warmup: bool = True, chain_argnum: int = 0) -> float:
+    """Seconds per forward of fn(*args), slope-based, chained through
+    args[chain_argnum] (choose a small operand for memory-bound ops)."""
     @jax.jit
-    def loop(*args):
+    def loop(*args_and_n):
+        *args_, n = args_and_n
+
         def body(i, carry):
             a0, acc = carry
-            cur = (a0,) + tuple(args[1:])
+            cur = list(args_)
+            cur[chain_argnum] = a0
             out = fn(*cur)
-            s = jnp.sum(out.astype(jnp.float32))
-            a0 = a0 + jnp.asarray(s * 1e-20, a0.dtype)
+            s = sum(jnp.sum(o.astype(jnp.float32))
+                    for o in jax.tree.leaves(out))
+            a0 = _tree_nudge(a0, s)
             return (a0, acc + s)
-        return jax.lax.fori_loop(0, iters, body,
-                                 (args[0], jnp.float32(0)))[1]
 
-    import numpy as np
-    if warmup:
-        float(np.asarray(loop(*args)))
-    t0 = time.perf_counter()
-    float(np.asarray(loop(*args)))
-    return (time.perf_counter() - t0) / iters
+        return jax.lax.fori_loop(0, n, body,
+                                 (args_[chain_argnum], jnp.float32(0)))[1]
+
+    lo, hi = iters, iters * 3
+    t_lo = _run_loop(loop, args, lo)
+    t_hi = _run_loop(loop, args, hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)

@@ -189,3 +189,48 @@ def test_hpo_parallel_trials_run():
         parallel_trials=2)
     assert res["best_hyperparams"]["x"] == min(h["hp"]["x"] for h in res["trials"])
     assert {c[0] for c in calls} == {0, 1, 2, 3}
+
+
+def test_merged_training_matches_unmerged(tmp_path):
+    """Merge-during-training is an exact reformulation: with identical data
+    order and init, training with merged_training=auto reaches the same
+    adapter weights (to f32 noise) as the standard path, incl. grad accum."""
+    losses, finals = [], []
+    for mode in ("off", "auto"):
+        cfg = RobertaConfig.tiny(hidden_dropout_prob=0.0,
+                                 attention_probs_dropout_prob=0.0)
+        model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+        init_monarch(model, PEFT, rngs=nnx.Rngs(1))
+        data = _synthetic_task(cfg)
+        args = TrainingArgs(
+            output_dir=str(tmp_path), learning_rate=5e-3, num_train_epochs=2,
+            per_device_train_batch_size=8, gradient_accumulation_steps=2,
+            logging_steps=0, log_param_steps=0, warmup_ratio=0.0,
+            merged_training=mode)
+        t = Trainer(model, args, train_data=data, eval_data=data)
+        if mode == "auto":
+            assert t._n_merged > 0
+        m = t.train()
+        losses.append(m["eval_loss"])
+        finals.append(jax.tree.map(np.asarray, t.trainable))
+    assert abs(losses[0] - losses[1]) < 1e-3, losses
+    for a, b in zip(jax.tree.leaves(finals[0]), jax.tree.leaves(finals[1])):
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-4)
+
+
+def test_merged_cache_not_in_checkpoint(tmp_path):
+    trainer, _ = _make(tmp_path, merged_training="auto")
+    assert trainer._n_merged > 0
+    path = trainer.save_checkpoint(tag="m")
+    data = np.load(os.path.join(path, "trainable.npz"))
+    assert not any("wm_cache" in k for k in data.files)
+
+
+def test_merged_training_on_mesh(tmp_path):
+    mesh = make_mesh(dp=2, fsdp=4)
+    trainer, _ = _make(tmp_path, mesh=mesh, merged_training="auto",
+                       gradient_accumulation_steps=2)
+    first = trainer.evaluate()
+    metrics = trainer.train()
+    assert np.isfinite(metrics["eval_loss"])
+    assert metrics["eval_loss"] < first["eval_loss"]
