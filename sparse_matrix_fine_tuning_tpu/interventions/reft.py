@@ -139,6 +139,54 @@ class MoReIntervention(nnx.Module):
         return out
 
 
+class VanillaIntervention(nnx.Module):
+    """Replace base activations with SOURCE activations (pyvene's core
+    interchange intervention, reference pyvene models/interventions.py
+    VanillaIntervention): used through ``ReftModel.swap_forward``."""
+
+    def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
+                 rngs: Optional[nnx.Rngs] = None, **_):
+        pass
+
+    def __call__(self, h: Array, source: Optional[Array] = None) -> Array:
+        return h if source is None else source.astype(h.dtype)
+
+
+class AdditionIntervention(nnx.Module):
+    """base + source (reference pyvene AdditionIntervention)."""
+
+    def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
+                 rngs: Optional[nnx.Rngs] = None, **_):
+        pass
+
+    def __call__(self, h: Array, source: Optional[Array] = None) -> Array:
+        return h if source is None else h + source.astype(h.dtype)
+
+
+class SubtractionIntervention(nnx.Module):
+    """base - source (reference pyvene SubtractionIntervention)."""
+
+    def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
+                 rngs: Optional[nnx.Rngs] = None, **_):
+        pass
+
+    def __call__(self, h: Array, source: Optional[Array] = None) -> Array:
+        return h if source is None else h - source.astype(h.dtype)
+
+
+class CollectIntervention(nnx.Module):
+    """Collect activations without modifying them (reference pyvene
+    CollectIntervention); ``ReftModel.collect_activations`` returns what
+    these gather."""
+
+    def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
+                 rngs: Optional[nnx.Rngs] = None, **_):
+        pass
+
+    def __call__(self, h: Array, source: Optional[Array] = None) -> Array:
+        return h
+
+
 INTERVENTION_TYPES = {
     "LoreftIntervention": LoreftIntervention,
     "NoreftIntervention": NoreftIntervention,
@@ -146,7 +194,15 @@ INTERVENTION_TYPES = {
     "NoIntervention": NoIntervention,
     "Nothing": NoIntervention,
     "MoReIntervention": MoReIntervention,
+    "VanillaIntervention": VanillaIntervention,
+    "AdditionIntervention": AdditionIntervention,
+    "SubtractionIntervention": SubtractionIntervention,
+    "CollectIntervention": CollectIntervention,
 }
+
+# interventions whose edit is a function of a SOURCE example's activations
+SOURCE_BASED = (VanillaIntervention, AdditionIntervention,
+                SubtractionIntervention)
 
 
 @dataclasses.dataclass
@@ -156,17 +212,26 @@ class ReftConfig:
     representations: Sequence[dict] = ()
 
 
-def apply_at_positions(x: Array, locations: Array, fn) -> Array:
+def gather_positions(x: Array, locations: Array) -> Array:
+    """(b, t, d) gathered at (b, p) positions -> (b, p, d); -1 pads map to
+    position 0 (pyvene gather_neurons, reference modeling_utils.py:230)."""
+    safe = jnp.maximum(locations, 0)
+    return jnp.take_along_axis(x, safe[..., None], axis=1)
+
+
+def apply_at_positions(x: Array, locations: Array, fn, source=None) -> Array:
     """Gather token positions, intervene, scatter back.
 
     x: (b, t, d); locations: (b, p) with -1 padding (positions produced by
     data.reasoning.get_intervention_locations).  The -1 slots map to
     position 0 but write back the untouched value, so they are no-ops.
+    source: optional (b, p, d) source-example activations for
+    interchange-style interventions.
     """
     b = x.shape[0]
     safe = jnp.maximum(locations, 0)
     gathered = jnp.take_along_axis(x, safe[..., None], axis=1)  # (b, p, d)
-    edited = fn(gathered)
+    edited = fn(gathered, source) if source is not None else fn(gathered)
     keep = (locations >= 0)[..., None]
     # scatter-ADD the delta: -1 pad slots (mapped to position 0) contribute
     # zero instead of racing a real edit at position 0
@@ -184,10 +249,8 @@ class ReftModel(nnx.Module):
         rngs = rngs or nnx.Rngs(0)
         self.model = model
         embed_dim = model.config.hidden_size
-        layers, interventions = [], []
+        layers, components, interventions = [], [], []
         for rep in config.representations:
-            assert rep.get("component", "block_output") == "block_output", (
-                "the TPU-native engine supports block_output interventions")
             cls = rep.get("intervention", "NoIntervention")
             if isinstance(cls, str):
                 cls = INTERVENTION_TYPES[cls]
@@ -199,20 +262,108 @@ class ReftModel(nnx.Module):
                                  if cls is not NoIntervention
                                  else NoIntervention())
             layers.append(int(rep["layer"]))
+            components.append(rep.get("component", "block_output"))
         self.intervention_layers = tuple(layers)
+        self.intervention_components = tuple(components)
         self.interventions = nnx.List(interventions)
 
-    def _hooks(self, intervention_locations):
+    def _key(self, i):
+        layer = self.intervention_layers[i]
+        comp = self.intervention_components[i]
+        return layer if comp == "block_output" else (layer, comp)
+
+    def _locs(self, intervention_locations, i):
+        return intervention_locations[
+            :, min(i, intervention_locations.shape[1] - 1)]
+
+    def _hooks(self, intervention_locations, sources=None):
         """intervention_locations: (b, num_interventions, p) from the data
-        pipeline.  Returns {layer: fn}."""
+        pipeline.  sources: optional {i: (b, p, d)} source activations for
+        interchange interventions.  Returns {layer_or_(layer, comp): fn}."""
         hooks = {}
-        for i, (layer, iv) in enumerate(zip(self.intervention_layers,
-                                            self.interventions)):
+        for i, iv in enumerate(self.interventions):
             if isinstance(iv, NoIntervention):
                 continue
-            locs = intervention_locations[:, min(i, intervention_locations.shape[1] - 1)]
-            hooks[layer] = (lambda iv, locs: lambda x: apply_at_positions(x, locs, iv))(iv, locs)
+            locs = self._locs(intervention_locations, i)
+            src = (sources or {}).get(i)
+            hooks[self._key(i)] = (
+                lambda iv, locs, src:
+                lambda x: apply_at_positions(x, locs, iv, source=src)
+            )(iv, locs, src)
         return hooks
+
+    def collect_activations(self, input_ids, locations, attention_mask=None,
+                            **kw):
+        """Run a forward and gather each intervention site's activations at
+        ``locations`` (b, num_interventions, p) -- pyvene's Collect /
+        source pass (reference intervenable_base.py source handling).
+        Returns {i: (b, p, d)}."""
+        collected = {}
+        hooks = {}
+        for i in range(len(self.interventions)):
+            locs = self._locs(locations, i)
+            def make(i, locs):
+                def fn(x):
+                    collected[i] = gather_positions(x, locs)
+                    return x
+                return fn
+            hooks[self._key(i)] = make(i, locs)
+        self.model(input_ids, attention_mask=attention_mask,
+                   layer_hooks=hooks, **kw)
+        return collected
+
+    def swap_forward(self, base_ids, source_ids, *, base_locations,
+                     source_locations, base_mask=None, source_mask=None, **kw):
+        """pyvene's source->base interchange forward (reference
+        intervenable_base.py:1186 ``unit_locations={"sources->base":
+        (source_locs, base_locs)}``): activations collected from the SOURCE
+        example at source_locations replace/combine into the BASE forward at
+        base_locations, per each intervention's semantics."""
+        sources = self.collect_activations(
+            source_ids, source_locations, attention_mask=source_mask, **kw)
+        hooks = self._hooks(base_locations, sources=sources)
+        return self.model(base_ids, attention_mask=base_mask,
+                          layer_hooks=hooks, **kw)
+
+    # -- intervention state save/load (reference intervenable_base.py:379-570)
+    def save_interventions(self, directory: str) -> None:
+        import json as _json
+        import os as _os
+
+        import numpy as _np
+        _os.makedirs(directory, exist_ok=True)
+        arrays = {}
+        for i, iv in enumerate(self.interventions):
+            flat, _ = jax.tree_util.tree_flatten_with_path(nnx.state(iv))
+            for path, leaf in flat:
+                if hasattr(leaf, "shape"):
+                    key = f"{i}/" + "/".join(str(getattr(p, 'key', p)) for p in path)
+                    arrays[key] = _np.asarray(leaf)
+        _np.savez(_os.path.join(directory, "interventions.npz"), **arrays)
+        meta = [{"layer": l, "component": c, "intervention": type(iv).__name__}
+                for l, c, iv in zip(self.intervention_layers,
+                                    self.intervention_components,
+                                    self.interventions)]
+        with open(_os.path.join(directory, "intervenable_config.json"), "w") as f:
+            _json.dump(meta, f, indent=1)
+
+    def load_interventions(self, directory: str) -> None:
+        import os as _os
+
+        import numpy as _np
+        data = _np.load(_os.path.join(directory, "interventions.npz"))
+        for i, iv in enumerate(self.interventions):
+            state = nnx.state(iv)
+            flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+            new = []
+            for path, leaf in flat:
+                key = f"{i}/" + "/".join(str(getattr(p, 'key', p)) for p in path)
+                if key in data.files:
+                    assert data[key].shape == tuple(leaf.shape), key
+                    new.append(jnp.asarray(data[key], dtype=leaf.dtype))
+                else:
+                    new.append(leaf)
+            nnx.update(iv, jax.tree_util.tree_unflatten(treedef, new))
 
     def __call__(self, input_ids, attention_mask=None,
                  intervention_locations=None, **kw):

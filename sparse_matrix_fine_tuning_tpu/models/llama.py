@@ -142,11 +142,24 @@ class LlamaDecoderLayer(nnx.Module):
             cfg.hidden_size, epsilon=cfg.rms_norm_eps, dtype=cfg.compute_dtype,
             param_dtype=cfg.params_dtype, rngs=rngs)
 
-    def __call__(self, x, attn_bias, positions, cache=None):
+    def __call__(self, x, attn_bias, positions, cache=None, hooks=None):
+        """hooks: optional {component: fn} for this layer, component in
+        {"block_input", "attention_output", "mlp_output"} -- the non-block
+        intervention points of pyvene's component map (reference
+        modelings_intervenable_llama.py:15-31); "block_output" is applied
+        by the caller."""
+        hooks = hooks or {}
+        if "block_input" in hooks:
+            x = hooks["block_input"](x)
         attn_out, new_cache = self.self_attn(
             self.input_layernorm(x), attn_bias, positions, cache)
+        if "attention_output" in hooks:
+            attn_out = hooks["attention_output"](attn_out)
         x = x + attn_out
-        x = x + self.mlp(self.post_attention_layernorm(x))
+        mlp_out = self.mlp(self.post_attention_layernorm(x))
+        if "mlp_output" in hooks:
+            mlp_out = hooks["mlp_output"](mlp_out)
+        x = x + mlp_out
         return x, new_cache
 
 
@@ -163,11 +176,31 @@ class LlamaModel(nnx.Module):
                                           dtype=cfg.compute_dtype,
                                           param_dtype=cfg.params_dtype, rngs=rngs)
 
+    @staticmethod
+    def _split_hooks(layer_hooks):
+        """Hook keys: plain int = block_output (back-compat), or
+        (layer, component) with component in {"block_output", "block_input",
+        "attention_output", "mlp_output"} -- pyvene's component addressing
+        (reference modelings_intervenable_llama.py:15-31)."""
+        block, inner = {}, {}
+        if layer_hooks:
+            for key, fn in layer_hooks.items():
+                if isinstance(key, tuple):
+                    i, comp = key
+                    if comp == "block_output":
+                        block[int(i)] = fn
+                    else:
+                        inner.setdefault(int(i), {})[comp] = fn
+                else:
+                    block[int(key)] = fn
+        return block, inner
+
     def __call__(self, input_ids, attention_mask=None, positions=None, caches=None,
                  cache_index=None, layer_hooks=None):
-        """layer_hooks: optional {layer_idx: fn(hidden) -> hidden} applied to
-        the block output (ReFT-style activation intervention hook points,
-        the TPU-native analogue of pyvene's forward hooks)."""
+        """layer_hooks: optional {layer_idx_or_(layer, component): fn(hidden)
+        -> hidden} activation intervention hook points (the TPU-native
+        analogue of pyvene's forward hooks)."""
+        block_hooks, inner_hooks = self._split_hooks(layer_hooks)
         b, t = input_ids.shape
         x = self.embed_tokens(input_ids)
         if positions is None:
@@ -184,18 +217,22 @@ class LlamaModel(nnx.Module):
             if self.config.remat:
                 # recompute each decoder layer in the backward: activation
                 # memory drops from O(layers) to O(1) layers
-                def run_layer(lyr, x, bias, positions):
-                    return lyr(x, bias, positions)[0]
-                run_layer = nnx.remat(run_layer)
+                def make_run(hooks_i):
+                    def run_layer(lyr, x, bias, positions):
+                        return lyr(x, bias, positions, hooks=hooks_i)[0]
+                    return nnx.remat(run_layer)
+                plain_run = make_run(None)
                 for i, lyr in enumerate(self.layers):
-                    x = run_layer(lyr, x, bias, positions)
-                    if layer_hooks and i in layer_hooks:
-                        x = layer_hooks[i](x)
+                    run = plain_run if i not in inner_hooks \
+                        else make_run(inner_hooks[i])
+                    x = run(lyr, x, bias, positions)
+                    if i in block_hooks:
+                        x = block_hooks[i](x)
             else:
                 for i, lyr in enumerate(self.layers):
-                    x, _ = lyr(x, bias, positions)
-                    if layer_hooks and i in layer_hooks:
-                        x = layer_hooks[i](x)
+                    x, _ = lyr(x, bias, positions, hooks=inner_hooks.get(i))
+                    if i in block_hooks:
+                        x = block_hooks[i](x)
         else:
             # prefill/decode over a fixed-size cache; attention_mask is over
             # the cache (b, cache_len).  Query row i sits at cache slot
@@ -208,9 +245,10 @@ class LlamaModel(nnx.Module):
             bias = jnp.where(ok, 0.0, -1e9).astype(x.dtype)
             new_caches = []
             for i, (lyr, (kc, vc)) in enumerate(zip(self.layers, caches)):
-                x, nc = lyr(x, bias, positions, cache=(kc, vc, cache_index))
-                if layer_hooks and i in layer_hooks:
-                    x = layer_hooks[i](x)
+                x, nc = lyr(x, bias, positions, cache=(kc, vc, cache_index),
+                            hooks=inner_hooks.get(i))
+                if i in block_hooks:
+                    x = block_hooks[i](x)
                 new_caches.append(nc)
         x = self.norm(x)
         return x, new_caches

@@ -61,6 +61,29 @@ def dequantize_int4(packed, scales, group_size: int = 64, dtype=jnp.float32):
     return w.reshape(out_f, in_f).astype(dtype)
 
 
+import jax
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=())
+def _quantize_int8_device(w):
+    w = w.astype(jnp.float32)
+    scales = jnp.maximum(jnp.abs(w).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w / scales), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
+def _quantize_int4_device(w, group_size):
+    w = w.astype(jnp.float32)
+    out_f, in_f = w.shape
+    g = w.reshape(out_f, in_f // group_size, group_size)
+    scales = jnp.maximum(jnp.abs(g).max(axis=-1, keepdims=True) / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(g / scales), -8, 7).astype(jnp.int8).reshape(out_f, in_f)
+    u = (q + 8).astype(jnp.uint8)
+    packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)
+    return packed, scales[..., 0]
+
+
 def quantize_frozen_base(model: nnx.Module, bits: int = 8,
                          group_size: int = 64) -> int:
     """Quantize every MonarchLinear's frozen dense weight in place.
@@ -68,23 +91,26 @@ def quantize_frozen_base(model: nnx.Module, bits: int = 8,
     Returns the number of matrices quantized.  The int values live in the
     (frozen) ``dense`` Param; scales in a new ``dense_scales`` Variable;
     ``quant_bits``/``quant_group`` static attrs steer the dequant path in
-    ``MonarchLinear._dense_forward``.
+    ``MonarchLinear._dense_forward``.  Quantization runs ON DEVICE, one
+    layer at a time (a 7B bf16 base never round-trips to host and the
+    transient overhead is one layer's worth).
     """
     assert bits in (4, 8)
     from sparse_matrix_fine_tuning_tpu.peft.surgery import _iter_parents
+    quant4 = jax.jit(_quantize_int4_device, static_argnums=(1,))
     n = 0
     for _, _, child in _iter_parents(model):
         if isinstance(child, MonarchLinear) and child.dense is not None \
                 and child.as_adapter and not getattr(child, "quant_bits", 0):
-            w = np.asarray(child.dense.value)
+            w = child.dense.value
             if bits == 8:
-                q, scales = quantize_int8(w)
+                q, scales = _quantize_int8_device(w)
             else:
                 if w.shape[1] % group_size != 0:
                     continue  # ragged layer stays bf16
-                q, scales = quantize_int4(w, group_size)
-            child.dense.value = jnp.asarray(q)
-            child.dense_scales = nnx.Variable(jnp.asarray(scales))
+                q, scales = quant4(w, group_size)
+            child.dense.value = q
+            child.dense_scales = nnx.Variable(scales)
             child.quant_bits = bits
             child.quant_group = group_size
             n += 1
