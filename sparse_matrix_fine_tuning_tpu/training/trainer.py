@@ -312,6 +312,11 @@ class Trainer:
                 self._do_eval()
                 self.model.train()
         self.model.eval()
+        if self._n_merged:
+            # sync caches with the final optimizer update so downstream
+            # users (generation evals) see fresh merged weights
+            from sparse_matrix_fine_tuning_tpu.peft.surgery import refresh_merged
+            refresh_merged(self.model)
         metrics = {}
         if self.eval_data is not None:
             metrics = self._do_eval()
