@@ -57,13 +57,17 @@ for mode in ("off", "auto"):
     tr.model.train()
     batches = list(tr._batches(data, BS, shuffle=False, accum=GA))
     step_fn = tr._train_step_accum
-    # warmup/compile
-    loss = float(step_fn(tr.model, tr.optimizer, batches[0][0]))
-    t0 = time.time()
-    N = 6
+    # warmup: compile + the tunnel's slow first-execution finalization
+    for _ in range(3):
+        loss = float(step_fn(tr.model, tr.optimizer, batches[0][0]))
+    import statistics
+    times = []
+    N = 8
     for i in range(N):
+        t0 = time.time()
         loss = float(step_fn(tr.model, tr.optimizer, batches[i % len(batches)][0]))
-    dt = (time.time() - t0) / N
+        times.append(time.time() - t0)
+    dt = statistics.median(times)
     toks = BS * GA * T / dt
     print(f"merged={mode:4s} (n_merged={tr._n_merged}): "
           f"{dt*1e3:7.1f} ms/opt-step ({toks:,.0f} tokens/s) loss={loss:.3f}",

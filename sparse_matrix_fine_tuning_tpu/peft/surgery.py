@@ -224,14 +224,20 @@ def init_lora(
     return adapted
 
 
-def enable_merged_training(model: nnx.Module) -> int:
+def enable_merged_training(model: nnx.Module, min_dim: int = 0) -> int:
     """Enable merge-during-training (kernels/merged.py) on every eligible
     MonarchLinear.  Returns the number of layers enabled.  Costs one extra
     dense-sized cache pair per layer -- intended for memory-comfortable
-    configs; the fused-add path remains the fallback."""
+    configs; the fused-add path remains the fallback.
+
+    min_dim: only enable layers with min(in, out) >= min_dim.  Measured on
+    v5e: the per-step merge rebuild pays off from ~4096-dim projections
+    (the Llama-7B shapes, +1.92x adapter-overhead cut) but loses ~9% on
+    2048-dim models -- the trainer's "auto" mode passes 4096."""
     count = 0
     for _, _, child in _iter_parents(model):
-        if isinstance(child, MonarchLinear) and child.can_merge_train():
+        if isinstance(child, MonarchLinear) and child.can_merge_train() \
+                and min(child.in_features, child.out_features) >= min_dim:
             child.enable_merged_training()
             count += 1
     return count

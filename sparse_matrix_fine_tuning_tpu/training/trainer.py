@@ -142,12 +142,22 @@ class Trainer:
     def _build(self):
         a = self.args
         # merge-during-training: collapse frozen dense + adapter into one
-        # matmul operand, refreshed once per optimizer step (kernels/merged.py)
+        # matmul operand, refreshed once per optimizer step (kernels/merged.py).
+        # "auto" requires gradient accumulation: the per-step merge rebuild
+        # amortizes over the micro-batches; at ga=1 it can cost more than the
+        # adapter work it removes ("on" forces it regardless).
         self._n_merged = 0
-        if a.merged_training != "off":
+        ga = max(a.gradient_accumulation_steps, 1)
+        if a.merged_training == "on":
             from sparse_matrix_fine_tuning_tpu.peft.surgery import (
                 enable_merged_training)
             self._n_merged = enable_merged_training(self.model)
+        elif a.merged_training == "auto" and ga >= 2:
+            # measured crossover: the rebuild amortizes for >= 4096-dim
+            # projections (the 7B shapes); smaller layers stay unmerged
+            from sparse_matrix_fine_tuning_tpu.peft.surgery import (
+                enable_merged_training)
+            self._n_merged = enable_merged_training(self.model, min_dim=4096)
 
         total = self.num_training_steps() if self.train_data is not None else 1
         G = max(a.gradient_accumulation_steps, 1)

@@ -206,7 +206,7 @@ def test_merged_training_matches_unmerged(tmp_path):
             output_dir=str(tmp_path), learning_rate=5e-3, num_train_epochs=2,
             per_device_train_batch_size=8, gradient_accumulation_steps=2,
             logging_steps=0, log_param_steps=0, warmup_ratio=0.0,
-            merged_training=mode)
+            merged_training="on" if mode == "auto" else mode)
         t = Trainer(model, args, train_data=data, eval_data=data)
         if mode == "auto":
             assert t._n_merged > 0
@@ -219,7 +219,7 @@ def test_merged_training_matches_unmerged(tmp_path):
 
 
 def test_merged_cache_not_in_checkpoint(tmp_path):
-    trainer, _ = _make(tmp_path, merged_training="auto")
+    trainer, _ = _make(tmp_path, merged_training="on")
     assert trainer._n_merged > 0
     path = trainer.save_checkpoint(tag="m")
     data = np.load(os.path.join(path, "trainable.npz"))
@@ -228,7 +228,7 @@ def test_merged_cache_not_in_checkpoint(tmp_path):
 
 def test_merged_training_on_mesh(tmp_path):
     mesh = make_mesh(dp=2, fsdp=4)
-    trainer, _ = _make(tmp_path, mesh=mesh, merged_training="auto",
+    trainer, _ = _make(tmp_path, mesh=mesh, merged_training="on",
                        gradient_accumulation_steps=2)
     first = trainer.evaluate()
     metrics = trainer.train()
