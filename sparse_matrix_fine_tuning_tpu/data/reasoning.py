@@ -226,12 +226,15 @@ def tokenize_reasoning(task: str, items: Sequence[dict], tokenizer,
     single leading pad "sink" token and intervention locations
     (reference loreft/dataset.py:253-283).
     """
-    eos = getattr(tokenizer, "eos_token", None) or "</s>"
+    # EOS is appended as a TOKEN ID below, never as template text: embedding
+    # the "</s>" string would double the eos with special-token-aware
+    # tokenizers and word-tokenize it with the smoke tokenizer (the model
+    # then generates literal "< / s" text that breaks exact-match eval)
     pad_id = tokenizer.pad_token_id
     first_n, last_n = parse_positions(position)
     rows_ids, rows_labels, rows_locs = [], [], []
     for item in items:
-        prompt, full = build_prompt(task, item, eos)
+        prompt, full = build_prompt(task, item, "")
         prompt_ids = tokenizer.encode_ids(prompt)[:max_length - 1]
         if split == "train":
             full_ids = (tokenizer.encode_ids(full)[:max_length - 1]
