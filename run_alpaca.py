@@ -45,6 +45,7 @@ def parse_args():
     p.add_argument("--do_mmlu_eval", default=True, type=eval)
     p.add_argument("--mmlu_kshot", default=5, type=int)
     p.add_argument("--do_tune", default=False, type=eval)
+    p.add_argument("--parallel_trials", default=1, type=int)
     p.add_argument("--n_trials", default=4, type=int)
     p.add_argument("--smoke", default=False, type=eval)
     p.add_argument("--output_dir", default="results/alpaca")
@@ -180,7 +181,7 @@ def main():
             return t.train()
 
         result = hyperparameter_search(
-            run_trial, space, n_trials=args.n_trials,
+            run_trial, space, n_trials=args.n_trials, parallel_trials=args.parallel_trials,
             target_metric="eval_mmlu_eval_accuracy", mode="max",
             max_epochs=float(args.epochs))
         save_best_hp(result["best_hyperparams"], out_dir)

@@ -57,6 +57,7 @@ def parse_args():
                    help="intervention low-rank dimension")
     p.add_argument("--all_linear", default=True, type=eval)
     p.add_argument("--do_tune", default=False, type=eval)
+    p.add_argument("--parallel_trials", default=1, type=int)
     p.add_argument("--n_trials", default=6, type=int)
     p.add_argument("--smoke", default=False, type=eval)
     p.add_argument("--output_dir", default="results/reasoning")
@@ -216,7 +217,7 @@ def main():
             return eval_all(t.model, greedy=True, max_new=smoke_new)
 
         result = hyperparameter_search(
-            run_trial, space, n_trials=args.n_trials,
+            run_trial, space, n_trials=args.n_trials, parallel_trials=args.parallel_trials,
             target_metric="eval/average", mode="max",
             max_epochs=float(args.epochs))
         save_best_hp(result["best_hyperparams"], out_dir)

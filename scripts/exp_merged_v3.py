@@ -100,6 +100,23 @@ def make_merged_apply(dw_impl):
         elif dw_impl == "pallas_v2":
             dw1bd, dw2hat = dw_call_v2(x, dout, w1bd, w2hat)
             dw1, dw2 = _extract_dw(dw1bd, dw2hat, w1.shape, w2.shape)
+        elif dw_impl == "jnp_hybrid":
+            # expanded (relayout-free) dw2/dout1; batched dw1
+            out1f = jnp.dot(x, w1bd, preferred_element_type=jnp.float32
+                            ).astype(x.dtype)                      # (b, kq)
+            dw2hat = jax.lax.dot_general(out1f, dout, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            dout1f = jax.lax.dot_general(dout, w2hat, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32
+                                         ).astype(x.dtype)         # (b, kq)
+            _, dw2 = _extract_dw(jnp.zeros((x.shape[1], k * q)), dw2hat,
+                                 w1.shape, w2.shape)
+            # dout1f indexes the SAME flat (k q) layout as out1f
+            dout1_kq = dout1f.reshape(-1, k, q)
+            xb = x.reshape(-1, k, p)
+            dw1 = jax.lax.dot_general(dout1_kq, xb, (((0,), (0,)), ((1,), (1,))),
+                                      preferred_element_type=jnp.float32
+                                      ).astype(w1.dtype)
         elif dw_impl == "jnp_expanded":
             # relayout-free: four plain matmuls on the expanded factors
             out1f = jnp.dot(x, w1bd, preferred_element_type=jnp.float32
@@ -226,7 +243,7 @@ def main():
 
     t_xla = timed("xla-unfused", macro_xla)
 
-    for dw_impl in ("jnp", "jnp_expanded"):
+    for dw_impl in ("jnp", "jnp_hybrid"):
         apply_fn = make_merged_apply(dw_impl)
 
         def macro_merged(w1_, w2_, xs, apply_fn=apply_fn):
