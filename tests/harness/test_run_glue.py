@@ -10,10 +10,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 sys.path.insert(0, REPO)
 
 
-def _run(tmp_path, extra, task="cola"):
+def _run(tmp_path, extra, task="cola", cfg_dir="monarch_roberta_glue"):
     import run_glue
     argv = ["run_glue.py",
-            os.path.join(REPO, f"task_configs/monarch_roberta_glue/{task}.json"),
+            os.path.join(REPO, f"task_configs/{cfg_dir}/{task}.json"),
             "--smoke=True", f"--output_dir={tmp_path}/", "--save_steps=0",
             "--eval_steps=0", "--logging_steps=0", "--load_best_model_at_end=False",
             ] + extra
@@ -96,3 +96,14 @@ def test_metrics_jsonl_written(tmp_path):
     assert any("loss" in r for r in recs)
     assert any(k.startswith("watch/") for r in recs for k in r)
     assert any("eval_matthews_correlation" in r for r in recs)
+
+
+def test_lora_and_boft_baselines_run(tmp_path):
+    """The LoRA and BOFT baseline flows run end-to-end through the GLUE
+    harness (reference qlora.py / boft shell drivers)."""
+    r1 = _run(tmp_path, ["--num_train_epochs=2", "--monarch=False",
+                         "--lora=True"])
+    assert "eval_matthews_correlation" in r1["cola"]
+    r2 = _run(tmp_path, ["--num_train_epochs=2", "--monarch=False",
+                         "--boft=True"], cfg_dir="boft_roberta_glue")
+    assert "eval_matthews_correlation" in r2["cola"]
