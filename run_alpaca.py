@@ -51,6 +51,8 @@ def parse_args():
     p.add_argument("--output_dir", default="results/alpaca")
     p.add_argument("--logging_steps", default=10, type=int)
     p.add_argument("--max_n_train_example", default=None, type=int)
+    p.add_argument("--profile", action="store_true",
+                   help="jax.profiler trace of the training run")
     p.add_argument("--platform", default=None)
     args, unknown = p.parse_known_args()
     if args.platform:
@@ -201,7 +203,13 @@ def main():
                                "hp": hp or {}})
     trainer = make_trainer(hp, logger=logger)
     watch_layers(trainer.model, logger)
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(os.path.join(out_dir, "profile"))
     metrics = trainer.train()
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
     logger.log({"step": trainer.step, **metrics})
     watch_layers(trainer.model, logger)
     logger.finish()

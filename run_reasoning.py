@@ -62,6 +62,8 @@ def parse_args():
     p.add_argument("--smoke", default=False, type=eval)
     p.add_argument("--output_dir", default="results/reasoning")
     p.add_argument("--logging_steps", default=10, type=int)
+    p.add_argument("--profile", action="store_true",
+                   help="jax.profiler trace of the training run")
     p.add_argument("--platform", default=None)
     p.add_argument("--mesh_fsdp", default=0, type=int,
                    help="FSDP-shard the frozen base over this many devices")
@@ -235,7 +237,13 @@ def main():
                        config={"task": args.task, "hp": hp or {}})
     trainer = make_trainer(hp, logger=logger)
     watch_layers(trainer.model, logger)
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(os.path.join(out_dir, "profile"))
     trainer.train()
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
     results = eval_all(trainer.model, greedy=args.greedy_decoding,
                        max_new=smoke_new)
     logger.log({"step": trainer.step, **{f"eval_{k}": v for k, v in results.items()

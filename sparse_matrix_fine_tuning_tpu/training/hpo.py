@@ -109,6 +109,9 @@ def hyperparameter_search(
             print(f"[hpo] trial {t['id']} failed: {type(e).__name__}: {e}")
             traceback.print_exc()
             val = worst
+        import gc
+        gc.collect()  # free the trial's model/optimizer buffers
+        # (reference free_memory between trials, train_utils.py:552-555)
         rec = {"id": t["id"], "hp": t["hp"], "epochs": budget,
                target_metric: val}
         print(f"[hpo] {json.dumps(rec)}")
