@@ -25,7 +25,7 @@ W = jax.random.normal(jax.random.PRNGKey(0), (d, d)) / np.sqrt(d)
 layer = MonarchLinear(d, d, weights=W, peft_config={"nblocks": 4, "blk_r": 4},
                       rngs=nnx.Rngs(0))
 print(f"dense params: {d*d}, adapter params: "
-      f"{layer.blkdiag1.value.size + layer.blkdiag2.value.size} "
+      f"{layer.blkdiag1[...].size + layer.blkdiag2[...].size} "
       f"(saving ratio {layer.saving:.4f})")
 x = jax.random.normal(jax.random.PRNGKey(1), (8, d))
 print("adapter-at-init == dense:",

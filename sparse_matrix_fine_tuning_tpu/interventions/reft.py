@@ -54,9 +54,9 @@ class LoreftIntervention(nnx.Module):
         self.dropout = nnx.Dropout(dropout, deterministic=True, rngs=rngs) if dropout > 0 else None
 
     def __call__(self, h: Array) -> Array:
-        R = self.rotate.value.astype(h.dtype)
-        src = self.act_fn(h @ self.w.value.astype(h.dtype)
-                          + self.b.value.astype(h.dtype))
+        R = self.rotate[...].astype(h.dtype)
+        src = self.act_fn(h @ self.w[...].astype(h.dtype)
+                          + self.b[...].astype(h.dtype))
         out = h + (src - h @ R) @ R.T
         if self.dropout is not None:
             out = self.dropout(out)
@@ -77,10 +77,10 @@ class NoreftIntervention(nnx.Module):
         self.act_fn = act_fn or (lambda x: x)
 
     def __call__(self, h: Array) -> Array:
-        P = self.proj.value.astype(h.dtype)
-        src = h @ self.w.value.astype(h.dtype)
+        P = self.proj[...].astype(h.dtype)
+        src = h @ self.w[...].astype(h.dtype)
         if self.b is not None:
-            src = src + self.b.value.astype(h.dtype)
+            src = src + self.b[...].astype(h.dtype)
         return h + (self.act_fn(src) - h @ P) @ P.T
 
 
@@ -94,8 +94,8 @@ class ConsreftIntervention(nnx.Module):
             k2, (low_rank_dimension,), param_dtype))
 
     def __call__(self, h: Array) -> Array:
-        R = self.rotate.value.astype(h.dtype)
-        return h + (self.source.value.astype(h.dtype) - h @ R) @ R.T
+        R = self.rotate[...].astype(h.dtype)
+        return h + (self.source[...].astype(h.dtype) - h @ R) @ R.T
 
 
 class NoIntervention(nnx.Module):
@@ -132,7 +132,7 @@ class MoReIntervention(nnx.Module):
         rotated = self.rotate_layer(h)
         delta = self.act_fn(self.learned_source(h)) - rotated
         # inverse rotation: transposed blocks of the orthogonal factor
-        w_t = jnp.swapaxes(self.rotate_layer.weight.value, -1, -2).astype(h.dtype)
+        w_t = jnp.swapaxes(self.rotate_layer.weight[...], -1, -2).astype(h.dtype)
         out = h + blockdiag_multiply(delta, w_t)
         if self.dropout is not None:
             out = self.dropout(out)

@@ -107,11 +107,11 @@ class Scaler(nnx.Module):
         )
         if affine:
             # affine LN params train with the adapter
-            self.norm.scale = AdapterParam(self.norm.scale.value)
-            self.norm.bias = AdapterParam(self.norm.bias.value)
+            self.norm.scale = AdapterParam(self.norm.scale[...])
+            self.norm.bias = AdapterParam(self.norm.bias[...])
 
     def __call__(self, x: Array) -> Array:
-        return self.norm(x * self.scaler.value.astype(x.dtype))
+        return self.norm(x * self.scaler[...].astype(x.dtype))
 
 
 class MonarchLinear(nnx.Module):
@@ -280,8 +280,8 @@ class MonarchLinear(nnx.Module):
         return out
 
     def monarch_forward(self, x: Array, *, deterministic=None) -> Array:
-        w1 = self.blkdiag1.value
-        w2 = self.blkdiag2.value
+        w1 = self.blkdiag1[...]
+        w2 = self.blkdiag2[...]
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w1 = w1.astype(self.dtype)
@@ -298,7 +298,7 @@ class MonarchLinear(nnx.Module):
         return out
 
     def _dense_forward(self, x: Array) -> Array:
-        w = self.dense.value
+        w = self.dense[...]
         compute = self.dtype if self.dtype is not None else x.dtype
         qbits = getattr(self, "quant_bits", 0)
         if qbits:
@@ -306,7 +306,7 @@ class MonarchLinear(nnx.Module):
             # the matmul operand read
             from sparse_matrix_fine_tuning_tpu.quant import (
                 dequantize_int4, dequantize_int8)
-            scales = self.dense_scales.value
+            scales = self.dense_scales[...]
             if qbits == 8:
                 w = dequantize_int8(w, scales, compute)
             else:
@@ -320,7 +320,7 @@ class MonarchLinear(nnx.Module):
             x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_mult_factor:
-            out = blockdiag_multiply(out, self.blkdiag_mult.value.astype(out.dtype))
+            out = blockdiag_multiply(out, self.blkdiag_mult[...].astype(out.dtype))
         return out
 
     def _can_fuse_add(self, x: Array) -> bool:
@@ -344,8 +344,8 @@ class MonarchLinear(nnx.Module):
         if self.impl == "auto" and b * (self.in_features + self.out_features) < (1 << 22):
             return False
         return monarch_kernel_supported(
-            self.in_features, self.blkdiag1.value.shape,
-            self.blkdiag2.value.shape, x.dtype.itemsize)
+            self.in_features, self.blkdiag1[...].shape,
+            self.blkdiag2[...].shape, x.dtype.itemsize)
 
     # ------------------------------------------------------------------
     # merge-during-training (kernels/merged.py): the frozen dense and the
@@ -360,12 +360,12 @@ class MonarchLinear(nnx.Module):
 
     def _build_merged(self):
         from sparse_matrix_fine_tuning_tpu.kernels.merged import build_merged_operands
-        dense = self.dense.value
+        dense = self.dense[...]
         if self.dtype is not None:
             dense = dense.astype(self.dtype)  # cache in compute dtype
         return build_merged_operands(
-            dense, self.blkdiag1.value.astype(dense.dtype),
-            self.blkdiag2.value.astype(dense.dtype))
+            dense, self.blkdiag1[...].astype(dense.dtype),
+            self.blkdiag2[...].astype(dense.dtype))
 
     def enable_merged_training(self) -> None:
         assert self.can_merge_train()
@@ -380,8 +380,8 @@ class MonarchLinear(nnx.Module):
         if self.wm_cache is None:
             return
         wm, wm_t = self._build_merged()
-        self.wm_cache.value = wm
-        self.wm_t_cache.value = wm_t
+        self.wm_cache.set_value(wm)
+        self.wm_t_cache.set_value(wm_t)
 
     def disable_merged_training(self) -> None:
         self.wm_cache = nnx.data(None)
@@ -389,11 +389,11 @@ class MonarchLinear(nnx.Module):
 
     def _merged_forward(self, x: Array) -> Array:
         from sparse_matrix_fine_tuning_tpu.kernels.merged import merged_apply
-        wm = self.wm_cache.value  # already in compute dtype (_build_merged)
+        wm = self.wm_cache[...]  # already in compute dtype (_build_merged)
         x = x.astype(wm.dtype)
-        return merged_apply(x, wm, self.wm_t_cache.value,
-                            self.blkdiag1.value.astype(wm.dtype),
-                            self.blkdiag2.value.astype(wm.dtype))
+        return merged_apply(x, wm, self.wm_t_cache[...],
+                            self.blkdiag1[...].astype(wm.dtype),
+                            self.blkdiag2[...].astype(wm.dtype))
 
     def __call__(self, x: Array, *, deterministic=None) -> Array:
         if self.as_adapter:
@@ -403,21 +403,21 @@ class MonarchLinear(nnx.Module):
             if self.wm_cache is not None and not self.merged:
                 out = self._merged_forward(x)
                 if self.bias is not None:
-                    out = out + self.bias.value.astype(out.dtype)
+                    out = out + self.bias[...].astype(out.dtype)
                 return out
             out = self._dense_forward(x)
             if not self.merged and self._can_fuse_add(x):
                 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
                     monarch_add)
-                w1 = self.blkdiag1.value.astype(out.dtype)
-                w2 = self.blkdiag2.value.astype(out.dtype)
+                w1 = self.blkdiag1[...].astype(out.dtype)
+                w2 = self.blkdiag2[...].astype(out.dtype)
                 out = monarch_add(out, x.astype(out.dtype), w1, w2)
             elif not self.merged:
                 out = out + self.monarch_forward(x, deterministic=deterministic)
         else:
             out = self.monarch_forward(x, deterministic=deterministic)
         if self.bias is not None:
-            out = out + self.bias.value.astype(out.dtype)
+            out = out + self.bias[...].astype(out.dtype)
         return out
 
     # ------------------------------------------------------------------
@@ -433,7 +433,7 @@ class MonarchLinear(nnx.Module):
         (reference train(False) branch, monarch_linear.py:271-276)."""
         if not self.as_adapter or self.merged:
             return
-        self.dense.value = self.dense.value + self.adapter_dense_equivalent().astype(self.param_dtype)
+        self.dense.set_value(self.dense[...] + self.adapter_dense_equivalent().astype(self.param_dtype))
         self.merged = True
 
     def unmerge_adapter(self) -> None:
@@ -441,14 +441,14 @@ class MonarchLinear(nnx.Module):
         (reference train(True) branch, monarch_linear.py:261-268)."""
         if not self.as_adapter or not self.merged:
             return
-        self.dense.value = self.dense.value - self.adapter_dense_equivalent().astype(self.param_dtype)
+        self.dense.set_value(self.dense[...] - self.adapter_dense_equivalent().astype(self.param_dtype))
         self.merged = False
 
     @property
     def saving(self) -> float:
         """Adapter-params / dense-params compression ratio
         (reference monarch_linear.py:312-314)."""
-        return (self.blkdiag1.value.size + self.blkdiag2.value.size) / (
+        return (self.blkdiag1[...].size + self.blkdiag2[...].size) / (
             self.in_features * self.out_features)
 
 
@@ -493,7 +493,7 @@ class MonarchFactor(nnx.Module):
         self.bias = AdapterParam(jnp.zeros((out_features,), param_dtype)) if use_bias else None
 
     def __call__(self, x: Array) -> Array:
-        out = blockdiag_multiply(x, self.weight.value.astype(x.dtype))
+        out = blockdiag_multiply(x, self.weight[...].astype(x.dtype))
         if self.bias is not None:
-            out = out + self.bias.value.astype(out.dtype)
+            out = out + self.bias[...].astype(out.dtype)
         return out

@@ -52,9 +52,9 @@ class BlockdiagLinear(nnx.Module):
             # channel shuffle: (k, c) view transposed -> (c, k)
             b = x.shape[:-1]
             x = x.reshape(*b, self.nblocks, -1).swapaxes(-1, -2).reshape(*b, -1)
-        out = blockdiag_multiply(x, self.weight.value.astype(x.dtype))
+        out = blockdiag_multiply(x, self.weight[...].astype(x.dtype))
         if self.bias is not None:
-            out = out + self.bias.value.astype(out.dtype)
+            out = out + self.bias[...].astype(out.dtype)
         return out
 
 
@@ -78,9 +78,9 @@ class ButterflyFFT(nnx.Module):
 
     def __call__(self, x: Array) -> Array:
         xc = x.astype(jnp.complex64) if not jnp.issubdtype(x.dtype, jnp.complexfloating) else x
-        shaped = xc[..., self.perm.value].reshape(-1, self.n)
+        shaped = xc[..., self.perm[...]].reshape(-1, self.n)
         out = blockdiag_butterfly_multiply(
-            shaped, self._complex(self.w1.value), self._complex(self.w2.value))
+            shaped, self._complex(self.w1[...]), self._complex(self.w2[...]))
         return out.reshape(xc.shape)
 
 

@@ -255,7 +255,7 @@ class DebertaV2Model(nnx.Module):
     def get_rel_embedding(self):
         if self.rel_embeddings is None:
             return None
-        rel = self.rel_embeddings.embedding.value
+        rel = self.rel_embeddings.embedding[...]
         if self.rel_LayerNorm is not None:
             rel = self.rel_LayerNorm(rel)
         return rel

@@ -39,19 +39,19 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def _set_linear(mod, sd, prefix):
-    mod.kernel.value = jnp.asarray(_np(sd[prefix + ".weight"]).T)
+    mod.kernel.set_value(jnp.asarray(_np(sd[prefix + ".weight"]).T))
     if prefix + ".bias" in sd and mod.bias is not None:
-        mod.bias.value = jnp.asarray(_np(sd[prefix + ".bias"]))
+        mod.bias.set_value(jnp.asarray(_np(sd[prefix + ".bias"])))
 
 
 def _set_ln(mod, sd, prefix):
-    mod.scale.value = jnp.asarray(_np(sd[prefix + ".weight"]))
+    mod.scale.set_value(jnp.asarray(_np(sd[prefix + ".weight"])))
     if prefix + ".bias" in sd and getattr(mod, "bias", None) is not None:
-        mod.bias.value = jnp.asarray(_np(sd[prefix + ".bias"]))
+        mod.bias.set_value(jnp.asarray(_np(sd[prefix + ".bias"])))
 
 
 def _set_embed(mod, sd, key):
-    mod.embedding.value = jnp.asarray(_np(sd[key]))
+    mod.embedding.set_value(jnp.asarray(_np(sd[key])))
 
 
 def load_roberta(model, state_dict: Dict) -> None:

@@ -265,7 +265,7 @@ class LlamaForCausalLM(nnx.Module):
 
     def logits(self, hidden: Array) -> Array:
         if self.lm_head is None:
-            emb = self.model.embed_tokens.embedding.value
+            emb = self.model.embed_tokens.embedding[...]
             return hidden @ emb.T.astype(hidden.dtype)
         return self.lm_head(hidden)
 

@@ -74,13 +74,13 @@ class BOFTLinear(nnx.Module):
             if dropout > 0 else None
 
     def __call__(self, x: Array, *, deterministic=None) -> Array:
-        w = self.dense.value.astype(x.dtype)
+        w = self.dense[...].astype(x.dtype)
         h = jax.lax.dot_general(
             x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(x.dtype)
         if self.dropout is not None:
             h = self.dropout(h, deterministic=deterministic)
-        Q = cayley(self.boft_R.value).astype(x.dtype)  # (F, nb, bs, bs)
+        Q = cayley(self.boft_R[...]).astype(x.dtype)  # (F, nb, bs, bs)
         lead = h.shape[:-1]
         for f in range(self.n_factors):
             # each factor is P^T (block-diag Q) P: identity blocks give the
@@ -92,9 +92,9 @@ class BOFTLinear(nnx.Module):
             hb = jnp.einsum("...nb,nbc->...nc", hb, Q[f])
             hb = hb[..., inv, :]
             h = hb.reshape(*lead, self.out_features)
-        h = h * self.boft_s.value.astype(h.dtype)
+        h = h * self.boft_s[...].astype(h.dtype)
         if self.bias is not None:
-            h = h + self.bias.value.astype(h.dtype)
+            h = h + self.bias[...].astype(h.dtype)
         return h
 
 
@@ -111,11 +111,11 @@ def init_boft(model: nnx.Module, peft_config: dict, *,
     for parent, name, child in list(_iter_parents(model)):
         if name not in targets or not isinstance(child, nnx.Linear):
             continue
-        kernel = child.kernel.value
+        kernel = child.kernel[...]
         in_f, out_f = kernel.shape
         new_layer = BOFTLinear(
             in_f, out_f, weights=kernel.T,
-            bias=child.bias.value if child.bias is not None else None,
+            bias=child.bias[...] if child.bias is not None else None,
             block_size=peft_config.get("boft_block_size", 0) or 0,
             block_num=peft_config.get("boft_block_num", 0) or 0,
             n_butterfly_factor=peft_config.get("boft_n_butterfly_factor", 2),

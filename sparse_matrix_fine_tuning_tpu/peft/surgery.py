@@ -86,10 +86,10 @@ def init_monarch(
     for parent, name, child in list(_iter_parents(model)):
         if name not in targets or not isinstance(child, nnx.Linear):
             continue
-        kernel = child.kernel.value  # (in, out)
+        kernel = child.kernel[...]  # (in, out)
         in_f, out_f = kernel.shape
         w = kernel.T  # (out, in) linear orientation
-        bias = child.bias.value if child.bias is not None else None
+        bias = child.bias[...] if child.bias is not None else None
         if peft_config.get("adapter", True) and cfg_nblocks != "sqrt(n)":
             nblocks = cfg_nblocks
         else:
@@ -110,8 +110,8 @@ def init_monarch(
         else:
             setattr(parent, name, new_layer)
         adapted.append((name, (out_f, in_f),
-                        tuple(new_layer.blkdiag1.value.shape),
-                        tuple(new_layer.blkdiag2.value.shape)))
+                        tuple(new_layer.blkdiag1[...].shape),
+                        tuple(new_layer.blkdiag2[...].shape)))
     return adapted
 
 
@@ -151,7 +151,7 @@ def param_stats(model: nnx.Module, *, training: bool = True,
         for path, leaf in state.flat_state():
             if skip and any(skip in str(p) for p in path):
                 continue
-            v = leaf.value if hasattr(leaf, "value") else leaf
+            v = leaf[...] if isinstance(leaf, nnx.Variable) else leaf
             if v is not None and hasattr(v, "size"):
                 tot += v.size
         return tot
@@ -214,7 +214,7 @@ def init_lora(
     for parent, name, child in list(_iter_parents(model)):
         if name not in targets or not isinstance(child, nnx.Linear):
             continue
-        in_f, out_f = child.kernel.value.shape
+        in_f, out_f = child.kernel[...].shape
         lora = nnx.LoRA(in_f, rank, out_f, base_module=child, rngs=rngs)
         if isinstance(parent, nnx.List):
             parent[int(name)] = lora

@@ -102,14 +102,14 @@ def quantize_frozen_base(model: nnx.Module, bits: int = 8,
     for _, _, child in _iter_parents(model):
         if isinstance(child, MonarchLinear) and child.dense is not None \
                 and child.as_adapter and not getattr(child, "quant_bits", 0):
-            w = child.dense.value
+            w = child.dense[...]
             if bits == 8:
                 q, scales = _quantize_int8_device(w)
             else:
                 if w.shape[1] % group_size != 0:
                     continue  # ragged layer stays bf16
                 q, scales = quant4(w, group_size)
-            child.dense.value = q
+            child.dense.set_value(q)
             child.dense_scales = nnx.Variable(scales)
             child.quant_bits = bits
             child.quant_group = group_size

@@ -91,7 +91,7 @@ def watch_layers(model, logger: Optional[RunLogger] = None,
                 p = getattr(child, pname, None)
                 if p is None or not hasattr(p, "value"):
                     continue
-                v = np.asarray(p.value)
+                v = np.asarray(p[...])
                 key = f"watch/{name}.{pname}"
                 stats[f"{key}.mean"] = float(v.mean())
                 stats[f"{key}.std"] = float(v.std())

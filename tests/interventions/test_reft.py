@@ -24,8 +24,8 @@ def test_loreft_projects_to_source_in_subspace():
     out = iv(h)
     # in the rotated subspace, output equals the learned source exactly:
     # R^T(out) = act(W h + b)
-    R = iv.rotate.value
-    src = h @ iv.w.value + iv.b.value
+    R = iv.rotate[...]
+    src = h @ iv.w[...] + iv.b[...]
     np.testing.assert_allclose(np.asarray(out @ R), np.asarray(src),
                                rtol=1e-3, atol=1e-4)
 
@@ -34,16 +34,16 @@ def test_consreft_constant_subspace():
     iv = ConsreftIntervention(16, 4, rngs=nnx.Rngs(0))
     h = jax.random.normal(jax.random.PRNGKey(2), (5, 16))
     out = iv(h)
-    R = iv.rotate.value
+    R = iv.rotate[...]
     np.testing.assert_allclose(
         np.asarray(out @ R),
-        np.broadcast_to(np.asarray(iv.source.value), (5, 4)),
+        np.broadcast_to(np.asarray(iv.source[...]), (5, 4)),
         rtol=1e-3, atol=1e-4)
 
 
 def test_more_intervention_runs_and_is_orthogonal_blockwise():
     iv = MoReIntervention(32, 8, nblocks=4, rngs=nnx.Rngs(0))
-    for blk in iv.rotate_layer.weight.value:
+    for blk in iv.rotate_layer.weight[...]:
         gram = blk @ blk.T
         np.testing.assert_allclose(np.asarray(gram), np.eye(blk.shape[0]), atol=1e-4)
     h = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 32))
@@ -255,8 +255,8 @@ def test_intervention_save_load_roundtrip(tmp_path):
 
     rm2 = ReftModel(LlamaForCausalLM(cfg, rngs=nnx.Rngs(0)),
                     ReftConfig(representations=reps), rngs=nnx.Rngs(7))
-    before = np.asarray(rm2.interventions[0].rotate.value)
+    before = np.asarray(rm2.interventions[0].rotate[...])
     rm2.load_interventions(str(tmp_path))
-    after = np.asarray(rm2.interventions[0].rotate.value)
+    after = np.asarray(rm2.interventions[0].rotate[...])
     assert not np.allclose(before, after)
-    np.testing.assert_allclose(after, np.asarray(rm.interventions[0].rotate.value))
+    np.testing.assert_allclose(after, np.asarray(rm.interventions[0].rotate[...]))

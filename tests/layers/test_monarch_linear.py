@@ -30,14 +30,14 @@ def test_adapter_is_identity_at_init():
     layer, w = _layer()
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
     np.testing.assert_allclose(np.asarray(layer(x)), np.asarray(x @ w.T), rtol=1e-5, atol=1e-5)
-    assert float(jnp.abs(layer.blkdiag2.value).max()) == 0.0
-    assert float(jnp.abs(layer.blkdiag1.value).max()) > 0.0
+    assert float(jnp.abs(layer.blkdiag2[...]).max()) == 0.0
+    assert float(jnp.abs(layer.blkdiag1[...]).max()) > 0.0
 
 
 def test_adapter_additivity():
     layer, w = _layer()
-    layer.blkdiag2.value = jax.random.normal(
-        jax.random.PRNGKey(2), layer.blkdiag2.value.shape) * 0.1
+    layer.blkdiag2.set_value(jax.random.normal(
+        jax.random.PRNGKey(2), layer.blkdiag2[...].shape) * 0.1)
     x = jax.random.normal(jax.random.PRNGKey(3), (4, 32))
     expected = x @ w.T + layer.monarch_forward(x)
     np.testing.assert_allclose(np.asarray(layer(x)), np.asarray(expected), rtol=1e-5, atol=1e-5)
@@ -68,8 +68,8 @@ def test_svd_init_residual_exact():
 
 def test_merge_unmerge_roundtrip():
     layer, w = _layer()
-    layer.blkdiag2.value = jax.random.normal(
-        jax.random.PRNGKey(8), layer.blkdiag2.value.shape) * 0.1
+    layer.blkdiag2.set_value(jax.random.normal(
+        jax.random.PRNGKey(8), layer.blkdiag2[...].shape) * 0.1)
     x = jax.random.normal(jax.random.PRNGKey(9), (4, 32))
     before = np.asarray(layer(x))
     layer.merge_adapter()
@@ -86,8 +86,8 @@ def test_padding_non_divisible():
     x = jax.random.normal(jax.random.PRNGKey(10), (4, 30))
     out = layer(x)
     assert out.shape == (4, 50)
-    layer.blkdiag2.value = jax.random.normal(
-        jax.random.PRNGKey(11), layer.blkdiag2.value.shape) * 0.1
+    layer.blkdiag2.set_value(jax.random.normal(
+        jax.random.PRNGKey(11), layer.blkdiag2[...].shape) * 0.1)
     assert layer(x).shape == (4, 50)
 
 
@@ -97,14 +97,14 @@ def test_scaler_gates_adapter():
         32, 32, weights=w, rngs=nnx.Rngs(0),
         peft_config={"nblocks": 4, "blk_r": 4, "scaler": True})
     # with scaler: BOTH factors random but scaler=0 gates the branch
-    assert float(jnp.abs(layer.blkdiag2.value).max()) > 0
+    assert float(jnp.abs(layer.blkdiag2[...]).max()) > 0
     x = jax.random.normal(jax.random.PRNGKey(13), (4, 32))
     np.testing.assert_allclose(np.asarray(layer(x)), np.asarray(x @ w.T), rtol=1e-5, atol=1e-5)
 
 
 def test_saving_ratio():
     layer, _ = _layer(in_f=64, out_f=64)
-    expected = (layer.blkdiag1.value.size + layer.blkdiag2.value.size) / (64 * 64)
+    expected = (layer.blkdiag1[...].size + layer.blkdiag2[...].size) / (64 * 64)
     assert abs(layer.saving - expected) < 1e-9
     assert layer.saving < 1.0
 
@@ -124,7 +124,7 @@ def test_monarch_factor():
     x = jax.random.normal(jax.random.PRNGKey(14), (4, 32))
     assert f(x).shape == (4, 16)
     f_ortho = MonarchFactor(32, 32, nblocks=4, blk_r=8, ortho=True, rngs=nnx.Rngs(0))
-    for blk in f_ortho.weight.value:
+    for blk in f_ortho.weight[...]:
         gram = blk @ blk.T
         np.testing.assert_allclose(np.asarray(gram), np.eye(8), atol=1e-4)
 
@@ -132,6 +132,6 @@ def test_monarch_factor():
 def test_kaiming_init_bounds():
     layer, _ = _layer(in_f=64, out_f=64, seed=3)
     bound = 1.0 / np.sqrt(layer.in_blksz)
-    bd1 = np.asarray(layer.blkdiag1.value)
+    bd1 = np.asarray(layer.blkdiag1[...])
     assert bd1.max() <= bound and bd1.min() >= -bound
     assert bd1.std() > 0.3 * bound  # roughly uniform, not degenerate

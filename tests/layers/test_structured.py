@@ -17,7 +17,7 @@ def test_blockdiag_linear_shapes_and_sparsity():
     x = jax.random.normal(jax.random.PRNGKey(1), (5, 32))
     out = layer(x)
     assert out.shape == (5, 48)
-    assert layer.weight.value.size == 4 * 12 * 8  # vs 32*48 dense
+    assert layer.weight[...].size == 4 * 12 * 8  # vs 32*48 dense
 
 
 def test_blockdiag_linear_shuffle_runs():

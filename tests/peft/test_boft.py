@@ -35,8 +35,8 @@ def test_identity_at_init():
 def test_rotation_preserves_norm():
     w = jax.random.normal(jax.random.PRNGKey(3), (32, 16)) * 0.1
     layer = BOFTLinear(16, 32, weights=w, block_size=8, rngs=nnx.Rngs(0))
-    layer.boft_R.value = jax.random.normal(jax.random.PRNGKey(4),
-                                           layer.boft_R.value.shape) * 0.3
+    layer.boft_R.set_value(jax.random.normal(
+        jax.random.PRNGKey(4), layer.boft_R[...].shape) * 0.3)
     x = jax.random.normal(jax.random.PRNGKey(5), (4, 16))
     base = np.asarray(x @ w.T)
     out = np.asarray(layer(x))

@@ -76,8 +76,8 @@ def test_merge_all_roundtrip():
             __import__("sparse_matrix_fine_tuning_tpu.peft.surgery",
                        fromlist=["_iter_parents"])._iter_parents(model)):
         if isinstance(child, MonarchLinear):
-            child.blkdiag2.value = jax.random.normal(
-                jax.random.PRNGKey(2), child.blkdiag2.value.shape) * 0.05
+            child.blkdiag2.set_value(jax.random.normal(
+                jax.random.PRNGKey(2), child.blkdiag2[...].shape) * 0.05)
     ids = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, cfg.vocab_size)
     before = model(ids)
     n = merge_all_adapters(model)

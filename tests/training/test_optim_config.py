@@ -165,9 +165,9 @@ def test_sharded_base_actually_sharded(tmp_path):
                                      logging_steps=0, log_param_steps=0),
                  train_data=data, mesh=mesh)
     # a frozen dense weight must be sharded over fsdp; adapters replicated
-    dense = model.roberta.layer[0].attention.self.query.dense.value
+    dense = model.roberta.layer[0].attention.self.query.dense[...]
     assert "fsdp" in str(dense.sharding.spec)
-    bd1 = model.roberta.layer[0].attention.self.query.blkdiag1.value
+    bd1 = model.roberta.layer[0].attention.self.query.blkdiag1[...]
     assert bd1.sharding.spec == jax.sharding.PartitionSpec() or \
         all(s is None for s in bd1.sharding.spec)
 
