@@ -14,7 +14,8 @@ Capabilities mirrored from the reference harness layer:
     (HF ``load_best_model_at_end`` -- task_configs/monarch_roberta_glue/cola.json:20-23)
   * trainable-params-only checkpoints (reference train_utils.py:297-307)
   * periodic ``param_stats`` sanity prints (train_utils.py:286-295)
-  * optional ("dp","fsdp") mesh: frozen base FSDP-sharded, adapters +
+  * optional ("dp","fsdp","tp") mesh: frozen base FSDP-sharded (plus
+    Megatron col/row tensor-parallel over "tp" when sized > 1), adapters +
     optimizer state replicated, batches data-parallel.
 """
 
