@@ -42,15 +42,44 @@ def build_fewshot_prompt(dev_examples: list, item: dict, k: int = 5) -> str:
     return prompt
 
 
+def _load_qlora_mmlu_jsonl(path: str):
+    """The qlora repo's MMLU artifact format (reference
+    qlora/data/mmlu/zero_shot_mmlu_val.json, loaded at qlora.py:636-660):
+    JSON-lines of {subject, input, output} where ``input`` is the fully
+    formatted prompt ending in "Answer:" and ``output`` is the letter.
+    Returned as pre-formatted items ({prompt, answer, subject})."""
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            items.append({"prompt": d["input"], "answer": d["output"].strip(),
+                          "subject": d.get("subject", "misc")})
+    return items
+
+
 def load_mmlu_items(data_dir: str, split: str = "eval", smoke: bool = False,
                     smoke_n: int = 32, seed: int = 0):
-    """Items: {question, choices[4], answer in ABCD, subject}."""
+    """Items: {question, choices[4], answer in ABCD, subject} -- or
+    pre-formatted {prompt, answer, subject} for qlora-format files."""
     if not smoke:
         for cand in (os.path.join(data_dir, "mmlu", f"{split}.json"),
                      os.path.join(data_dir, f"mmlu_{split}.json")):
             if os.path.exists(cand):
                 with open(cand) as f:
+                    head = f.readline().strip()
+                if head.startswith("{") and '"input"' in head:
+                    return _load_qlora_mmlu_jsonl(cand)
+                with open(cand) as f:
                     return json.load(f)
+        # qlora artifact names (zero_shot_mmlu_val.json / five_shot_mmlu_*.json)
+        for fn in (f"zero_shot_mmlu_{'val' if split == 'eval' else split}.json",
+                   f"five_shot_mmlu_{'val' if split == 'eval' else split}.json"):
+            cand = os.path.join(data_dir, "mmlu", fn)
+            if os.path.exists(cand):
+                return _load_qlora_mmlu_jsonl(cand)
         csv_dir = os.path.join(data_dir, "mmlu", split)
         if os.path.isdir(csv_dir):
             items = []
@@ -97,6 +126,9 @@ def mmlu_accuracy(model, tokenizer, items: list, dev_items: Optional[list] = Non
 
     prompts = []
     for item in items:
+        if "prompt" in item:  # qlora pre-formatted (zero-shot) artifact
+            prompts.append(item["prompt"])
+            continue
         dev = dev_by_subject.get(item.get("subject", "misc"), [])
         prompts.append(build_fewshot_prompt(dev, item, k=k_shot))
     enc = [tokenizer.encode_ids(p)[:max_length] for p in prompts]
