@@ -12,7 +12,11 @@ Model: TinyLlama-1.1B-shaped (hidden 2048, 22 layers, GQA 4 kv heads)
 with Monarch adapters on all seven projections -- the PEFT-serving shape.
 Decode is HBM-bound: the floor is (param bytes)/(bandwidth) per token.
 
-Run: timeout 1800 python -u scripts/bench_decode.py  [B=8] [NEW=128]
+Run: timeout 1800 python -u scripts/bench_decode.py  [B=8] [NEW=128] [BITS=8]
+
+BITS=8/4 quantizes the frozen base on device instead of merging (a
+quantized dense cannot absorb the adapter); the decode then reads int8
+weights + the tiny monarch factors per token -- the HBM floor halves.
 """
 import os
 import sys
@@ -49,13 +53,23 @@ init_monarch(model, {"monarch": True, "nblocks": 4, "blk_r": 4,
                                         "o_proj", "gate_proj", "up_proj",
                                         "down_proj"]},
              rngs=nnx.Rngs(1))
-# serving path: adapters merged into the dense (reference merges at eval,
-# monarch_linear.py:255-276) -- decode reads ONE operand per layer
-merge_all_adapters(model)
+BITS = int(os.environ.get("BITS", 16))
+if BITS in (4, 8):
+    from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
+    nq = quantize_frozen_base(model, bits=BITS)
+    print(f"quantized {nq} base matrices to int{BITS}", flush=True)
+else:
+    # serving path: adapters merged into the dense (reference merges at
+    # eval, monarch_linear.py:255-276) -- decode reads ONE operand per layer
+    merge_all_adapters(model)
 model.eval()
+state = nnx.state(model)
+nbytes = sum(v.nbytes for v in jax.tree.leaves(state)
+             if hasattr(v, "nbytes"))
 nparams = sum(int(np.prod(v.shape)) for v in
               jax.tree.leaves(nnx.state(model, nnx.Param)))
-print(f"init {nparams/1e9:.2f}B params: {time.time()-t0:.1f}s", flush=True)
+print(f"init {nparams/1e9:.2f}B params ({nbytes/1e9:.2f} GB): "
+      f"{time.time()-t0:.1f}s", flush=True)
 
 rng = np.random.default_rng(0)
 mask = jnp.ones((B, PROMPT), jnp.int32)
@@ -85,9 +99,10 @@ def tok_s(fn, n_lo):
     return per_tok
 
 
+floor_ms = nbytes / 8.1e11 * 1e3
 for label, fn in (("greedy", generate), ("beam4", beam_generate)):
     ts = [tok_s(fn, NEW) for _ in range(3)]
     per = float(np.median(ts))
     print(f"{label:6s} decode: {per*1e3:6.2f} ms/step "
           f"({B/per:7.1f} tokens/s at batch {B}; "
-          f"HBM floor ~{nparams*2/8.1e11*1e3:.2f} ms/step)", flush=True)
+          f"HBM floor ~{floor_ms:.2f} ms/step)", flush=True)
