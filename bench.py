@@ -28,7 +28,6 @@ reports the SLOPE, which cancels the fixed cost exactly.
 import json
 import statistics
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -37,16 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(loop, args, iters):
-    def run(n):
-        out = loop(*args, jnp.int32(n))
-        float(np.asarray(out))
-        t0 = time.perf_counter()
-        float(np.asarray(loop(*args, jnp.int32(n))))
-        return time.perf_counter() - t0
-
-    t_lo, t_hi = run(iters), run(iters * 3)
-    return (t_hi - t_lo) / (iters * 2)
+from sparse_matrix_fine_tuning_tpu.utils.benchlib import slope_time
 
 
 def main():

@@ -178,9 +178,12 @@ def main():
         space = {"learning_rate": loguniform(5e-5, 1e-3),
                  "blk_r": choice([4, 8, 16])}
 
-        def run_trial(hp, epochs):
+        def run_trial(hp, epochs, trial_id):
+            # per-trial dir: parallel trials must not share checkpoints;
+            # resume=True extends survivors across rung budgets
+            hp = dict(hp, output_dir=os.path.join(out_dir, f"trial_{trial_id}"))
             t = make_trainer(hp, epochs)
-            return t.train()
+            return t.train(resume=True)
 
         result = hyperparameter_search(
             run_trial, space, n_trials=args.n_trials, parallel_trials=args.parallel_trials,
@@ -210,6 +213,12 @@ def main():
     if args.profile:
         import jax
         jax.profiler.stop_trace()
+    if mmlu_eval is not None and not any("mmlu" in k for k in metrics):
+        # --do_eval=False skips the loss-eval loop (no eval_data), but an
+        # explicitly requested MMLU eval must still run (reference runs the
+        # MMLU callback independently of do_eval, qlora_monarch.py:671-715)
+        metrics.update({f"eval_{k}": v
+                        for k, v in mmlu_metrics(trainer.model, None).items()})
     logger.log({"step": trainer.step, **metrics})
     watch_layers(trainer.model, logger)
     logger.finish()

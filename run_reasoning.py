@@ -183,7 +183,8 @@ def main():
         return Trainer(model, ta, train_data=train_data, loss_fn=lm_loss,
                        mesh=mesh, logger=logger)
 
-    def eval_all(model, greedy=True, max_new=None):
+    def eval_all(model, greedy=True, max_new=None, out=None):
+        out = out or out_dir
         results = {}
         all_gen = []
         for ds in tcfg["eval_datasets"]:
@@ -202,8 +203,8 @@ def main():
             all_gen.extend(gens)
         if results:
             results["eval/average"] = float(np.mean(list(results.values())))
-        os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "generations.json"), "w") as f:
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "generations.json"), "w") as f:
             json.dump(all_gen[:200], f, indent=1)
         return results
 
@@ -213,10 +214,15 @@ def main():
         space = {"learning_rate": loguniform(5e-5, 1e-3),
                  "blk_r": choice([2, 4, 8]), "nblocks": choice([2, 4])}
 
-        def run_trial(hp, epochs):
+        def run_trial(hp, epochs, trial_id):
+            # per-trial dir: parallel trials must not share checkpoints /
+            # generations; resume=True extends survivors across rungs
+            trial_dir = os.path.join(out_dir, f"trial_{trial_id}")
+            hp = dict(hp, output_dir=trial_dir)
             t = make_trainer(hp, epochs)
-            t.train()
-            return eval_all(t.model, greedy=True, max_new=smoke_new)
+            t.train(resume=True)
+            return eval_all(t.model, greedy=True, max_new=smoke_new,
+                            out=trial_dir)
 
         result = hyperparameter_search(
             run_trial, space, n_trials=args.n_trials, parallel_trials=args.parallel_trials,
@@ -246,7 +252,9 @@ def main():
         jax.profiler.stop_trace()
     results = eval_all(trainer.model, greedy=args.greedy_decoding,
                        max_new=smoke_new)
-    logger.log({"step": trainer.step, **{f"eval_{k}": v for k, v in results.items()
+    # keys are already namespaced "eval/<dataset>" -- log them verbatim so
+    # metrics.jsonl matches eval_results.json and the HPO target_metric
+    logger.log({"step": trainer.step, **{k: v for k, v in results.items()
                                          if isinstance(v, (int, float))}})
     watch_layers(trainer.model, logger)
     logger.finish()

@@ -22,7 +22,6 @@ Run: python scripts/exp_dw_in_context.py
 
 import statistics
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -41,16 +40,7 @@ from sparse_matrix_fine_tuning_tpu.kernels.more_linear import (
 from sparse_matrix_fine_tuning_tpu.ops.monarch import monarch_dw
 
 
-def slope_time(loop, args, iters):
-    def run(n):
-        out = loop(*args, jnp.int32(n))
-        float(np.asarray(out))
-        t0 = time.perf_counter()
-        float(np.asarray(loop(*args, jnp.int32(n))))
-        return time.perf_counter() - t0
-
-    t_lo, t_hi = run(iters), run(iters * 3)
-    return (t_hi - t_lo) / (iters * 2)
+from sparse_matrix_fine_tuning_tpu.utils.benchlib import slope_time
 
 
 def expanded_dw(x2, d2, w1bd, w2hat, w1_shape, w2_shape):

@@ -147,13 +147,6 @@ def main():
     measure("r1-fused-add", lambda: lambda w1_, w2_, x:
             sq(monarch_add(dense_nm(x, wd_t), x, w1_, w2_)))
 
-    def make_merged():
-        # NOTE: built inside macro() but OUTSIDE the scan -> computed once
-        # per macro step; micro_loss closes over it as a scan invariant.
-        def micro_builder():
-            raise RuntimeError  # replaced below
-        return micro_builder
-
     # merged: build wm outside scan by restructuring macro manually
     def time_merged(iters=20):
         def macro(w1_, w2_, xs):

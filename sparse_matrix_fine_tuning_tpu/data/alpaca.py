@@ -8,8 +8,11 @@ Mirrors the reference's DataCollatorForCausalLM semantics
     so a long prompt cannot eat the answer's budget and vice versa)
   * labels = IGNORE_INDEX over the source span + the target ids, unless
     ``train_on_source`` (then labels copy the full sequence)
-  * ``predict_with_generate`` keeps only the source ids (no labels)
-  * right-padded; attention mask = not-pad
+  * ``predict_with_generate`` keeps only the source ids (no labels) and
+    LEFT-pads them -- models/generate.py prefills take the next-token
+    logit at position -1, so prompts must end flush right (the reference
+    flips tokenizer.padding_side for generation, compute_metrics.py:118)
+  * training rows are right-padded; attention mask = not-pad
 
 Static-shape note (TPU): the reference pads per batch to the batch max;
 here all rows pad to one fixed ``source_max_len + target_max_len`` bucket
@@ -31,7 +34,6 @@ def collate_causal_lm(items: Sequence[dict], tokenizer, *,
                       predict_with_generate: bool = False,
                       task: str = "alpaca"):
     """Returns {input_ids, attention_mask[, labels]} as numpy arrays."""
-    eos = getattr(tokenizer, "eos_token", None) or "</s>"
     pad_id = tokenizer.pad_token_id
     rows_ids, rows_labels = [], []
     for item in items:
@@ -61,6 +63,10 @@ def collate_causal_lm(items: Sequence[dict], tokenizer, *,
     labels = np.full((n, maxlen), IGNORE_INDEX, np.int32)
     for i, ids in enumerate(rows_ids):
         L = min(len(ids), maxlen)
+        if predict_with_generate:
+            input_ids[i, maxlen - L:] = ids[:L]
+            attention_mask[i, maxlen - L:] = 1
+            continue
         input_ids[i, :L] = ids[:L]
         attention_mask[i, :L] = 1
         if rows_labels[i] is not None:

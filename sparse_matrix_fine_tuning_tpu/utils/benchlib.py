@@ -34,18 +34,26 @@ def _tree_nudge(x, s):
     return jax.tree.map(lambda a: a + (s * 1e-30).astype(a.dtype), x)
 
 
+def slope_time(loop, args, iters: int) -> float:
+    """Seconds per iteration of a pre-built counted loop, as the SLOPE
+    between an ``iters`` and a ``3*iters`` run -- cancels the fixed
+    per-dispatch cost exactly.  ``loop(*args, n)`` must run n chained
+    iterations and return a small fetchable value."""
+    t_lo = _run_loop(loop, args, iters)
+    t_hi = _run_loop(loop, args, iters * 3)
+    return (t_hi - t_lo) / (iters * 2)
+
+
 def _run_loop(loop, args, iters):
-    out = loop(*args, jnp.int32(iters))
-    t0 = time.perf_counter()
-    float(np.asarray(out))
-    # queue drained by the fetch; re-run timed end-to-end
+    # warmup run (compile + tunnel finalization); queue drained by the fetch
+    float(np.asarray(loop(*args, jnp.int32(iters))))
     t0 = time.perf_counter()
     float(np.asarray(loop(*args, jnp.int32(iters))))
     return time.perf_counter() - t0
 
 
 def time_grad_steps(loss_fn: Callable, args: Sequence, *, argnums=(0,),
-                    iters: int = 50, warmup: bool = True,
+                    iters: int = 50,
                     chain_argnum: int | None = None) -> float:
     """Seconds per fwd+bwd of ``loss_fn(*args)`` (slope-based).
 
@@ -82,7 +90,7 @@ def time_grad_steps(loss_fn: Callable, args: Sequence, *, argnums=(0,),
 
 
 def time_fn(fn: Callable, args: Sequence, *, iters: int = 50,
-            warmup: bool = True, chain_argnum: int = 0) -> float:
+            chain_argnum: int = 0) -> float:
     """Seconds per forward of fn(*args), slope-based, chained through
     args[chain_argnum] (choose a small operand for memory-bound ops)."""
     @jax.jit

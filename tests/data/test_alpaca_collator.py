@@ -46,6 +46,26 @@ def test_predict_with_generate_source_only():
     assert out["input_ids"].shape[1] <= 64
 
 
+def test_predict_with_generate_left_pads():
+    """generate() prefill takes the next-token logit at position -1, so
+    predict rows must end flush right (reference flips padding_side for
+    generation, compute_metrics.py:118)."""
+    tok = SimpleTokenizer(vocab_size=512)
+    out = collate_causal_lm(ITEMS, tok, source_max_len=64, target_max_len=16,
+                            predict_with_generate=True)
+    ids, mask = out["input_ids"], out["attention_mask"]
+    for i in range(len(ids)):
+        # last position is always a real token...
+        assert mask[i, -1] == 1 and ids[i, -1] != tok.pad_token_id
+        # ...and padding (if any) is a contiguous prefix
+        L = int(mask[i].sum())
+        np.testing.assert_array_equal(mask[i, :len(ids[i]) - L], 0)
+        np.testing.assert_array_equal(mask[i, len(ids[i]) - L:], 1)
+    # training rows stay right-padded
+    tr = collate_causal_lm(ITEMS, tok, source_max_len=64, target_max_len=16)
+    assert tr["attention_mask"][0, 0] == 1
+
+
 def test_train_eval_split_held_out():
     items = [{"instruction": f"q{i}", "input": "", "output": str(i)}
              for i in range(40)]
