@@ -174,6 +174,17 @@ def main():
                        loss_fn=lm_loss, compute_metrics=mmlu_metrics,
                        logger=logger)
 
+    def ensure_mmlu(metrics, model):
+        """--do_eval=False skips the loss-eval loop (no eval_data), but an
+        explicitly requested MMLU eval must still run -- in trials (the HPO
+        target metric) AND the final run (reference runs the MMLU callback
+        independently of do_eval, qlora_monarch.py:671-715)."""
+        if mmlu_eval is not None and not any("mmlu" in k for k in metrics):
+            metrics = dict(metrics)
+            metrics.update({f"eval_{k}": v
+                            for k, v in mmlu_metrics(model, None).items()})
+        return metrics
+
     if args.do_tune:
         space = {"learning_rate": loguniform(5e-5, 1e-3),
                  "blk_r": choice([4, 8, 16])}
@@ -183,7 +194,7 @@ def main():
             # resume=True extends survivors across rung budgets
             hp = dict(hp, output_dir=os.path.join(out_dir, f"trial_{trial_id}"))
             t = make_trainer(hp, epochs)
-            return t.train(resume=True)
+            return ensure_mmlu(t.train(resume=True), t.model)
 
         result = hyperparameter_search(
             run_trial, space, n_trials=args.n_trials, parallel_trials=args.parallel_trials,
@@ -213,12 +224,7 @@ def main():
     if args.profile:
         import jax
         jax.profiler.stop_trace()
-    if mmlu_eval is not None and not any("mmlu" in k for k in metrics):
-        # --do_eval=False skips the loss-eval loop (no eval_data), but an
-        # explicitly requested MMLU eval must still run (reference runs the
-        # MMLU callback independently of do_eval, qlora_monarch.py:671-715)
-        metrics.update({f"eval_{k}": v
-                        for k, v in mmlu_metrics(trainer.model, None).items()})
+    metrics = ensure_mmlu(metrics, trainer.model)
     logger.log({"step": trainer.step, **metrics})
     watch_layers(trainer.model, logger)
     logger.finish()

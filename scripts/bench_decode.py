@@ -12,7 +12,9 @@ Model: TinyLlama-1.1B-shaped (hidden 2048, 22 layers, GQA 4 kv heads)
 with Monarch adapters on all seven projections -- the PEFT-serving shape.
 Decode is HBM-bound: the floor is (param bytes)/(bandwidth) per token.
 
-Run: timeout 1800 python -u scripts/bench_decode.py  [B=8] [NEW=128] [BITS=8]
+Run (options are ENV VARS; defaults B=4, NEW=128, BITS=16 bf16-merged):
+
+    B=8 NEW=128 BITS=8 timeout 1800 python -u scripts/bench_decode.py
 
 BITS=8/4 quantizes the frozen base on device instead of merging (a
 quantized dense cannot absorb the adapter); the decode then reads int8

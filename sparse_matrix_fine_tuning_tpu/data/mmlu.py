@@ -131,7 +131,9 @@ def mmlu_accuracy(model, tokenizer, items: list, dev_items: Optional[list] = Non
             continue
         dev = dev_by_subject.get(item.get("subject", "misc"), [])
         prompts.append(build_fewshot_prompt(dev, item, k=k_shot))
-    enc = [tokenizer.encode_ids(p)[:max_length] for p in prompts]
+    # truncate from the HEAD: the scored "Answer:" position is at the tail
+    # and must survive (few-shot examples at the front are expendable)
+    enc = [tokenizer.encode_ids(p)[-max_length:] for p in prompts]
     maxlen = max(len(e) for e in enc)
     n = len(enc)
     ids = np.full((n, maxlen), tokenizer.pad_token_id, np.int32)

@@ -76,6 +76,7 @@ def watch_layers(model, logger: Optional[RunLogger] = None,
     wandb.watch equivalent): mean/std/absmax for a capped number of
     MonarchLinear/Scaler modules per attribute name."""
     import numpy as np
+    from flax import nnx
     from sparse_matrix_fine_tuning_tpu.layers.monarch_linear import (
         MonarchLinear, Scaler)
     from sparse_matrix_fine_tuning_tpu.peft.surgery import _iter_parents
@@ -89,7 +90,7 @@ def watch_layers(model, logger: Optional[RunLogger] = None,
             count[(type(child).__name__, name)] += 1
             for pname in ("blkdiag1", "blkdiag2", "scaler"):
                 p = getattr(child, pname, None)
-                if p is None or not hasattr(p, "value"):
+                if not isinstance(p, nnx.Variable):
                     continue
                 v = np.asarray(p[...])
                 key = f"watch/{name}.{pname}"
