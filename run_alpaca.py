@@ -25,6 +25,10 @@ def parse_args():
     p.add_argument("-model", "--model", default="llama-2-7b")
     p.add_argument("--dataset", default="alpaca",
                    choices=["alpaca", "chip2", "self-instruct", "hh-rlhf", "oasst1"])
+    p.add_argument("--dataset_format", default=None,
+                   choices=[None, "alpaca", "alpaca-clean", "chip2",
+                            "self-instruct", "hh-rlhf", "oasst1",
+                            "input-output"])
     p.add_argument("-data_dir", "--data_dir", default="dataset")
     p.add_argument("--bits", default=16, type=int, choices=[16, 8, 4])
     p.add_argument("--adapter", default="monarch", choices=["monarch", "lora"],
@@ -102,7 +106,7 @@ def main():
     import numpy as np
     from sparse_matrix_fine_tuning_tpu.data.mmlu import load_mmlu_items, mmlu_accuracy
     from sparse_matrix_fine_tuning_tpu.data.alpaca import (
-        collate_causal_lm, train_eval_split)
+        collate_causal_lm, format_items, train_eval_split)
     from sparse_matrix_fine_tuning_tpu.data.reasoning import load_data_items
     from sparse_matrix_fine_tuning_tpu.data.tokenizer import SimpleTokenizer, get_tokenizer
     from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
@@ -126,6 +130,10 @@ def main():
         "alpaca", args.dataset if args.dataset != "alpaca" else "alpaca_data_cleaned",
         args.data_dir, split="train", max_n_example=args.max_n_train_example,
         seed=args.seed, smoke=args.smoke)
+    # per-dataset raw-row normalisation (reference format_dataset); smoke
+    # items are already alpaca-shaped
+    if not args.smoke:
+        all_items = format_items(all_items, args.dataset_format, args.dataset)
     if args.do_eval:
         train_items, eval_items = train_eval_split(
             all_items, args.eval_dataset_size, seed=args.seed)

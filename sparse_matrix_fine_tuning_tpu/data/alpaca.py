@@ -28,6 +28,38 @@ import numpy as np
 from sparse_matrix_fine_tuning_tpu.data.reasoning import IGNORE_INDEX, build_prompt
 
 
+def format_items(items: Sequence[dict], dataset_format: str | None,
+                 dataset_name: str = "alpaca") -> list:
+    """Per-dataset raw-row -> {source, output} normalisation (reference
+    qlora_monarch.py format_dataset, :488-530).  Alpaca-family rows keep
+    their {instruction, input, output} shape (the prompt template applies
+    at collate time); the other formats produce a pre-built ``raw_input``
+    source string exactly as the reference's collator consumes it."""
+    fmt = dataset_format or (
+        dataset_name if dataset_name in
+        ("chip2", "self-instruct", "hh-rlhf", "oasst1") else "alpaca")
+    if fmt in ("alpaca", "alpaca-clean"):
+        return list(items)
+    out = []
+    for x in items:
+        if fmt == "chip2":
+            head, _, tail = x["text"].partition("\n<bot>: ")
+            out.append({"raw_input": head.replace("<human>: ", ""),
+                        "output": tail})
+        elif fmt == "self-instruct":
+            out.append({"raw_input": x["prompt"], "output": x["completion"]})
+        elif fmt == "hh-rlhf":
+            out.append({"raw_input": "", "output": x["chosen"]})
+        elif fmt == "oasst1":
+            out.append({"raw_input": "", "output": x["text"]})
+        elif fmt == "input-output":
+            out.append({"raw_input": x.get("input", ""),
+                        "output": x["output"]})
+        else:
+            raise ValueError(f"unknown dataset_format {fmt!r}")
+    return out
+
+
 def collate_causal_lm(items: Sequence[dict], tokenizer, *,
                       source_max_len: int = 1024, target_max_len: int = 256,
                       train_on_source: bool = False,
@@ -37,8 +69,11 @@ def collate_causal_lm(items: Sequence[dict], tokenizer, *,
     pad_id = tokenizer.pad_token_id
     rows_ids, rows_labels = [], []
     for item in items:
-        prompt, full = build_prompt(task, item, "")
-        target_text = full[len(prompt):]
+        if "raw_input" in item:  # pre-built source (format_items non-alpaca)
+            prompt, target_text = item["raw_input"], item["output"]
+        else:
+            prompt, full = build_prompt(task, item, "")
+            target_text = full[len(prompt):]
         # BOS carried by the source (reference prepends tokenizer.bos_token)
         src = tokenizer.encode_ids(prompt, add_bos=True)[:source_max_len]
         tgt = (tokenizer.encode_ids(target_text, add_bos=False)

@@ -66,6 +66,41 @@ def test_predict_with_generate_left_pads():
     assert tr["attention_mask"][0, 0] == 1
 
 
+def test_format_items_reference_formats():
+    """Per-dataset raw-row normalisation mirrors the reference's
+    format_dataset (qlora_monarch.py:488-530)."""
+    from sparse_matrix_fine_tuning_tpu.data.alpaca import format_items
+
+    chip2 = format_items([{"text": "<human>: hi there\n<bot>: hello!"}],
+                         None, "chip2")
+    assert chip2 == [{"raw_input": "hi there", "output": "hello!"}]
+    si = format_items([{"prompt": "p", "completion": "c"}], None,
+                      "self-instruct")
+    assert si == [{"raw_input": "p", "output": "c"}]
+    hh = format_items([{"chosen": "good", "rejected": "bad"}], None, "hh-rlhf")
+    assert hh == [{"raw_input": "", "output": "good"}]
+    oa = format_items([{"text": "convo"}], None, "oasst1")
+    assert oa == [{"raw_input": "", "output": "convo"}]
+    io = format_items([{"input": "q", "output": "a"}], "input-output")
+    assert io == [{"raw_input": "q", "output": "a"}]
+    # alpaca rows pass through untouched (template applies at collate time)
+    alp = [{"instruction": "i", "input": "", "output": "o"}]
+    assert format_items(alp, None, "alpaca") == alp
+
+
+def test_collate_raw_input_items():
+    """raw_input rows collate without the alpaca template: source is the
+    raw string, labels mask exactly the source span."""
+    tok = SimpleTokenizer(vocab_size=512)
+    items = [{"raw_input": "human question here", "output": "bot answer"}]
+    out = collate_causal_lm(items, tok, source_max_len=32, target_max_len=16)
+    src_len = len(tok.encode_ids("human question here", add_bos=True))
+    labels = out["labels"][0]
+    assert (labels[:src_len] == IGNORE_INDEX).all()
+    n_target = int((labels != IGNORE_INDEX).sum())
+    assert n_target == len(tok.encode_ids("bot answer", add_bos=False)) + 1
+
+
 def test_train_eval_split_held_out():
     items = [{"instruction": f"q{i}", "input": "", "output": str(i)}
              for i in range(40)]
