@@ -48,6 +48,10 @@ def parse_args():
                    help="held-out examples for eval loss (reference qlora.py)")
     p.add_argument("--do_mmlu_eval", default=True, type=eval)
     p.add_argument("--mmlu_kshot", default=5, type=int)
+    p.add_argument("--do_predict", default=False, type=eval,
+                   help="generate continuations for the eval split and "
+                        "write predictions.jsonl (reference qlora.py:848-856)")
+    p.add_argument("--max_new_tokens", default=256, type=int)
     p.add_argument("--do_tune", default=False, type=eval)
     p.add_argument("--parallel_trials", default=1, type=int)
     p.add_argument("--n_trials", default=4, type=int)
@@ -101,6 +105,50 @@ def build_model(args, peft_config):
     return model
 
 
+def predict_generations(model, tokenizer, eval_items, args, out_dir, *,
+                        src_len, collate_causal_lm):
+    """Generate continuations for the eval split and write
+    ``predictions.jsonl`` -- each row is the source example plus
+    ``prediction_with_input`` (full decoded sequence) and ``prediction``
+    (continuation only), mirroring reference qlora.py:844-856."""
+    import numpy as np
+    from sparse_matrix_fine_tuning_tpu.models.generate import (
+        GenerationConfig, generate)
+
+    batch_data = collate_causal_lm(
+        eval_items, tokenizer, source_max_len=src_len, target_max_len=0,
+        predict_with_generate=True)
+    ids, mask = batch_data["input_ids"], batch_data["attention_mask"]
+    gc = GenerationConfig(
+        max_new_tokens=min(args.max_new_tokens, 16 if args.smoke else 10**9),
+        eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id)
+    bs, n = args.batch_size, len(ids)
+    rows = []
+    for s in range(0, n, bs):
+        b_ids, b_mask = ids[s:s + bs], mask[s:s + bs]
+        if len(b_ids) < bs:  # static shapes: pad the tail batch
+            reps = bs - len(b_ids)
+            b_ids = np.concatenate([b_ids, np.repeat(b_ids[-1:], reps, 0)])
+            b_mask = np.concatenate([b_mask, np.repeat(b_mask[-1:], reps, 0)])
+        out = np.asarray(generate(model, b_ids, b_mask, gc))
+        for j in range(min(bs, n - s)):
+            toks = [t for t in out[j] if t != tokenizer.pad_token_id]
+            new = [t for t in out[j, ids.shape[1]:]
+                   if t != tokenizer.pad_token_id]
+            row = dict(eval_items[s + j])
+            row["prediction_with_input"] = tokenizer.decode(toks).strip()
+            row["prediction"] = tokenizer.decode(new).strip()
+            rows.append(row)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "predictions.jsonl")
+    with open(path, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+    print(f"[alpaca] wrote {len(rows)} predictions to {path}")
+    return {"predict_samples": len(rows)}
+
+
 def main():
     args, overrides = parse_args()
     import numpy as np
@@ -134,7 +182,9 @@ def main():
     # items are already alpaca-shaped
     if not args.smoke:
         all_items = format_items(all_items, args.dataset_format, args.dataset)
-    if args.do_eval:
+    if args.do_eval or args.do_predict:
+        # reference builds the eval split when either flag is set and
+        # predicts on it (qlora.py:658-664)
         train_items, eval_items = train_eval_split(
             all_items, args.eval_dataset_size, seed=args.seed)
     else:
@@ -145,7 +195,7 @@ def main():
         items, tokenizer, source_max_len=src_len, target_max_len=tgt_len,
         train_on_source=args.train_on_source)
     train_data = collate(train_items)
-    eval_data = collate(eval_items) if eval_items else None
+    eval_data = collate(eval_items) if (eval_items and args.do_eval) else None
 
     mmlu_eval = mmlu_dev = None
     if args.do_mmlu_eval:
@@ -233,6 +283,10 @@ def main():
         import jax
         jax.profiler.stop_trace()
     metrics = ensure_mmlu(metrics, trainer.model)
+    if args.do_predict:
+        metrics.update(predict_generations(
+            trainer.model, tokenizer, eval_items, args, out_dir,
+            src_len=src_len, collate_causal_lm=collate_causal_lm))
     logger.log({"step": trainer.step, **metrics})
     watch_layers(trainer.model, logger)
     logger.finish()

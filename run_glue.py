@@ -244,8 +244,11 @@ def main():
     data = tokenize_glue(task, raw, tokenizer, data_args.max_seq_length)
     val_key = "validation_matched" if task == "mnli" else "validation"
 
-    from sparse_matrix_fine_tuning_tpu.utils.logging import RunLogger, get_run_group
-    run_group = get_run_group(task_name=task, do_tune=args.do_tune)
+    from sparse_matrix_fine_tuning_tpu.utils.logging import (
+        RunLogger, get_run_group, persist_run_group)
+    run_group = persist_run_group(
+        train_args.output_dir, get_run_group(task_name=task, do_tune=args.do_tune),
+        resume=args.resume)
 
     def make_trainer(hp=None, epochs=None, logger=None):
         ta = dataclasses.replace(train_args)

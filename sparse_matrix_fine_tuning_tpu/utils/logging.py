@@ -33,6 +33,24 @@ def get_run_group(task_name: Optional[str] = None, do_tune: bool = False,
     return "_".join(parts)
 
 
+def persist_run_group(output_dir: str, group: str, resume: bool = False) -> str:
+    """Persist the run group to ``full_group.txt`` so a resumed HPO sweep or
+    training run rejoins the same group (reference run_glue.py:236-246 reads
+    it under --resume/--load_group; :571-575 writes it before tuning)."""
+    path = os.path.join(output_dir, "full_group.txt")
+    if resume:
+        if os.path.exists(path):
+            group = open(path).readline().strip()
+            print(f"Loading run group: {group}")
+        else:
+            print("No full_group.txt in the output dir; starting a new "
+                  "run group (won't rejoin a previous sweep).")
+    os.makedirs(output_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(group)
+    return group
+
+
 class RunLogger:
     """JSONL metrics sink with optional wandb mirroring."""
 

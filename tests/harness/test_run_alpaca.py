@@ -37,6 +37,21 @@ def test_alpaca_train_on_source_flag(tmp_path):
     assert "eval_loss" in metrics
 
 
+def test_alpaca_do_predict_writes_jsonl(tmp_path):
+    """--do_predict generates continuations for the eval split and writes
+    predictions.jsonl rows carrying the example plus prediction fields
+    (reference qlora.py:844-856)."""
+    metrics = _run(tmp_path, ["--do_mmlu_eval=False", "--do_predict=True",
+                              "--max_new_tokens=8"])
+    assert metrics["predict_samples"] == 8
+    path = os.path.join(str(tmp_path), "alpaca", "predictions.jsonl")
+    rows = [json.loads(line) for line in open(path)]
+    assert len(rows) == 8
+    for row in rows:
+        assert "prediction" in row and "prediction_with_input" in row
+        assert "output" in row  # original example fields preserved
+
+
 def test_alpaca_metrics_jsonl(tmp_path):
     import json
     _run(tmp_path, ["--do_mmlu_eval=False", "--logging_steps=1"])

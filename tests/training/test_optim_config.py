@@ -116,6 +116,21 @@ def test_run_logger_jsonl(tmp_path):
     assert g == "tune_cola_t"
 
 
+def test_persist_run_group_resume(tmp_path):
+    """A resumed run rejoins the group recorded in full_group.txt
+    (reference run_glue.py:236-246, 571-575)."""
+    from sparse_matrix_fine_tuning_tpu.utils.logging import persist_run_group
+    g1 = persist_run_group(str(tmp_path), "tune_cola_08-16-10")
+    assert g1 == "tune_cola_08-16-10"
+    assert open(tmp_path / "full_group.txt").read() == g1
+    # resume with a DIFFERENT freshly-computed group: the stored one wins
+    g2 = persist_run_group(str(tmp_path), "tune_cola_08-17-11", resume=True)
+    assert g2 == "tune_cola_08-16-10"
+    # resume with no marker file: keeps the new group and records it
+    g3 = persist_run_group(str(tmp_path / "fresh"), "tune_mnli_x", resume=True)
+    assert g3 == "tune_mnli_x"
+
+
 def test_watch_layers_stats():
     from flax import nnx
     from sparse_matrix_fine_tuning_tpu.layers import MonarchLinear
