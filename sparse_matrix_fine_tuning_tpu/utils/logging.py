@@ -33,6 +33,16 @@ def get_run_group(task_name: Optional[str] = None, do_tune: bool = False,
     return "_".join(parts)
 
 
+def host_tag() -> str:
+    """Host identifier recorded with each run so checkpoints can be located
+    (reference uploads hostname.txt as WANDB_HOST, run_glue.py:199-204;
+    here the hostname is read directly -- no sidecar file needed)."""
+    if os.path.exists("hostname.txt"):
+        return open("hostname.txt").readline().strip()
+    import socket
+    return socket.gethostname()
+
+
 def persist_run_group(output_dir: str, group: str, resume: bool = False) -> str:
     """Persist the run group to ``full_group.txt`` so a resumed HPO sweep or
     training run rejoins the same group (reference run_glue.py:236-246 reads
@@ -64,6 +74,7 @@ class RunLogger:
         if use_wandb:
             try:
                 import wandb
+                os.environ.setdefault("WANDB_HOST", host_tag())
                 self.wandb_run = wandb.init(
                     project=project or "sparse_matrix_fine_tuning_tpu",
                     group=group, name=name, config=config or {},
@@ -71,7 +82,7 @@ class RunLogger:
             except Exception:
                 self.wandb_run = None
         if config:
-            self.log({"_config": config, "step": 0})
+            self.log({"_config": config, "_host": host_tag(), "step": 0})
 
     def log(self, metrics: dict):
         rec = dict(metrics)
