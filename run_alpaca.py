@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--target_max_len", default=256, type=int)
     p.add_argument("--train_on_source", default=False, type=eval,
                    help="compute loss on the prompt too (reference qlora flag)")
+    p.add_argument("--group_by_length", default=True, type=eval,
+                   help="co-batch similar lengths and trim the time axis to "
+                        "bucketed maxima (reference qlora default)")
     p.add_argument("--do_eval", default=True, type=eval)
     p.add_argument("--eval_dataset_size", default=1024, type=int,
                    help="held-out examples for eval loss (reference qlora.py)")
@@ -224,6 +227,7 @@ def main():
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             lr_scheduler_type="constant", warmup_ratio=0.03,
             logging_steps=args.logging_steps, log_param_steps=0, seed=args.seed,
+            group_by_length=args.group_by_length,
             metric_for_best_model="mmlu_eval_accuracy", greater_is_better=True)
         if hp:
             override_config([ta, pc], hp)

@@ -74,6 +74,13 @@ class TrainingArgs:
     # eligible MonarchLinear (costs one dense-sized cache pair per layer --
     # pass "off" for memory-tight single-chip 7B runs)
     merged_training: str = "auto"
+    # TPU-native group_by_length (reference qlora_monarch.py:537-544 uses
+    # HF's LengthGroupedSampler): sort rows by true length within shuffled
+    # megabatches, then TRIM each batch's time axis to its bucketed max --
+    # a handful of static shapes (each compiled once) instead of every
+    # batch padding to the global max
+    group_by_length: bool = False
+    length_bucket: int = 64
 
 
 class Trainer:
@@ -247,6 +254,40 @@ class Trainer:
         self._eval_step = eval_step
 
     # ------------------------------------------------------------------
+    # keys carrying a (batch, time, ...) axis that group_by_length may trim;
+    # intervention_locations hold token POSITIONS (sink-relative, within the
+    # unpadded length for right-padded training rows) so trimming the pad
+    # tail never invalidates them -- but their axis 1 is not time, skip them
+    _TIME_KEYS = ("input_ids", "attention_mask", "labels", "token_type_ids",
+                  "position_ids")
+
+    def _length_grouped_order(self, data, idx, macro):
+        """HF LengthGroupedSampler semantics (reference qlora group_by_length):
+        chunk the shuffled order into megabatches and sort each by true
+        length descending, so co-batched rows have similar lengths."""
+        lengths = np.asarray(data["attention_mask"]).sum(axis=1)
+        mega = macro * 8
+        out = []
+        for s in range(0, len(idx), mega):
+            chunk = idx[s:s + mega]
+            out.append(chunk[np.argsort(-lengths[chunk], kind="stable")])
+        return np.concatenate(out) if out else idx
+
+    def _trim_batch(self, batch):
+        """Trim the time axis to the batch's bucketed max length.  Buckets
+        are multiples of ``length_bucket`` so only a few shapes compile."""
+        if "attention_mask" not in batch:
+            return batch
+        T = batch["attention_mask"].shape[-1]
+        maxlen = int(batch["attention_mask"].sum(axis=1).max())
+        q = max(self.args.length_bucket, 1)
+        maxlen = min(-(-maxlen // q) * q, T)
+        if maxlen >= T:
+            return batch
+        return {k: (v[:, :maxlen] if k in self._TIME_KEYS
+                    and v.ndim >= 2 and v.shape[1] == T else v)
+                for k, v in batch.items()}
+
     def _batches(self, data, batch_size, shuffle=True, seed=0, accum=1):
         """Yield (batch, n_valid).  accum>1 yields macro batches with leaves
         reshaped to (accum, batch_size, ...) for the in-jit scan."""
@@ -255,9 +296,15 @@ class Trainer:
         if shuffle:
             np.random.default_rng(seed).shuffle(idx)
         macro = batch_size * max(accum, 1)
+        group = (self.args.group_by_length and shuffle
+                 and "attention_mask" in data)
+        if group:
+            idx = self._length_grouped_order(data, idx, macro)
         for start in range(0, n, macro):
             sel = idx[start:start + macro]
             batch = {k: v[sel] for k, v in data.items()}
+            if group:
+                batch = self._trim_batch(batch)
             if len(sel) < macro:
                 # pad ragged tail for static shapes (single compilation)
                 pad = macro - len(sel)

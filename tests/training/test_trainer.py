@@ -62,6 +62,66 @@ def test_loss_decreases_and_only_adapters_move(tmp_path):
         np.testing.assert_array_equal(a, b, err_msg=str(pa))
 
 
+def _ragged_task(cfg, n=64, seq=32, seed=0):
+    """LM-shaped rows with varying true lengths (right-padded)."""
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(2, cfg.vocab_size, size=(n, seq))
+    mask = np.zeros((n, seq), np.int32)
+    lens = rng.integers(4, seq + 1, size=n)
+    for i, L in enumerate(lens):
+        mask[i, :L] = 1
+        ids[i, L:] = 0
+    labels = (ids[:, 0] < cfg.vocab_size // 2).astype(np.int32)
+    return {"input_ids": ids, "attention_mask": mask, "labels": labels}
+
+
+def test_group_by_length_trims_and_covers_all_rows(tmp_path):
+    """group_by_length co-batches similar lengths and trims the time axis to
+    bucketed maxima (TPU equivalent of reference qlora group_by_length);
+    every example is yielded exactly once and short batches shrink."""
+    trainer, _ = _make(tmp_path, group_by_length=True, length_bucket=8)
+    cfg = RobertaConfig.tiny()
+    data = _ragged_task(cfg)
+    data["id"] = np.arange(64, dtype=np.int32)  # explicit row identity
+    seen_ids = []
+    shapes = set()
+    for batch, n_valid in trainer._batches(data, 16, shuffle=True, seed=1):
+        b_ids = np.asarray(batch["input_ids"])
+        assert b_ids.shape == np.asarray(batch["attention_mask"]).shape
+        shapes.add(b_ids.shape[1])
+        assert int(np.asarray(batch["attention_mask"])[:n_valid].sum(1).max()) \
+            <= b_ids.shape[1]
+        seen_ids.extend(np.asarray(batch["id"])[:n_valid].tolist())
+        # bucketed: every trimmed length is a multiple of 8 (or the full T)
+        assert b_ids.shape[1] % 8 == 0 or b_ids.shape[1] == 32
+    assert sorted(seen_ids) == list(range(64)), \
+        "every example must be yielded exactly once"
+    assert len(shapes) > 1, "length grouping should yield several buckets"
+    assert min(shapes) < 32, "short batches must actually be trimmed"
+
+
+def test_group_by_length_training_matches_ungrouped(tmp_path):
+    """Same data, same epochs: grouped training reaches a comparable loss
+    (identical examples, different batch composition)."""
+    cfg = RobertaConfig.tiny()
+    data = _ragged_task(cfg)
+
+    def run(group):
+        model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+        init_monarch(model, PEFT, rngs=nnx.Rngs(1))
+        args = TrainingArgs(output_dir=str(tmp_path / str(group)),
+                            learning_rate=5e-3, num_train_epochs=3,
+                            per_device_train_batch_size=16, logging_steps=0,
+                            log_param_steps=0, warmup_ratio=0.0,
+                            group_by_length=group, length_bucket=8)
+        t = Trainer(model, args, train_data=data, eval_data=data)
+        return t.train()["eval_loss"]
+
+    grouped, ungrouped = run(True), run(False)
+    assert grouped < 0.72 and ungrouped < 0.72
+    assert abs(grouped - ungrouped) < 0.15
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer, data = _make(tmp_path)
     trainer.train()
