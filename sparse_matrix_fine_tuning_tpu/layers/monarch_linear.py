@@ -301,23 +301,47 @@ class MonarchLinear(nnx.Module):
         w = self.dense[...]
         compute = self.dtype if self.dtype is not None else x.dtype
         qbits = getattr(self, "quant_bits", 0)
-        if qbits:
+        dims = lambda a: (((a.ndim - 1,), (1,)), ((), ()))
+        if qbits == 4:
+            # split-dot: y = x_lo @ W_lo^T + x_hi @ W_hi^T over the
+            # packed-halves layout (quant/).  Each half dequantizes with
+            # pure elementwise ops that XLA fuses into its dot's operand
+            # read -- the even/odd interleave would force a materialized
+            # full-size dequant matrix (6.5x slower at decode shapes)
+            from sparse_matrix_fine_tuning_tpu.quant import unpack_int4
+            scales = self.dense_scales[...]
+            out_f, h = w.shape
+            g = self.quant_group
+            ns = scales.shape[1]
+            xq = x.astype(compute)
+
+            def half_dot(xh, qh, sh):
+                wd = (qh.reshape(out_f, h // g, g).astype(jnp.float32)
+                      * sh[..., None]).reshape(out_f, h).astype(compute)
+                return jax.lax.dot_general(
+                    xh, wd, dimension_numbers=dims(xh),
+                    preferred_element_type=jnp.float32)
+
+            lo, hi = unpack_int4(w)
+            out = (half_dot(xq[..., :h], lo, scales[:, :ns // 2])
+                   + half_dot(xq[..., h:], hi, scales[:, ns // 2:])
+                   ).astype(x.dtype)
+            if self.use_mult_factor:
+                out = blockdiag_multiply(
+                    out, self.blkdiag_mult[...].astype(out.dtype))
+            return out
+        if qbits == 8:
             # dequantised frozen base (see quant/): convert+scale fuses into
             # the matmul operand read
-            from sparse_matrix_fine_tuning_tpu.quant import (
-                dequantize_int4, dequantize_int8)
-            scales = self.dense_scales[...]
-            if qbits == 8:
-                w = dequantize_int8(w, scales, compute)
-            else:
-                w = dequantize_int4(w, scales, self.quant_group, compute)
+            from sparse_matrix_fine_tuning_tpu.quant import dequantize_int8
+            w = dequantize_int8(w, self.dense_scales[...], compute)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
         else:
             w = w.astype(x.dtype)
         out = jax.lax.dot_general(
-            x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            x, w, dimension_numbers=dims(x),
             preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_mult_factor:
             out = blockdiag_multiply(out, self.blkdiag_mult[...].astype(out.dtype))

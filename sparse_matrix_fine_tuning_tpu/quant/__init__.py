@@ -7,10 +7,18 @@ gestures at.  TPU-native scheme:
 
   int8: per-output-row absmax scaling, stored as int8 (half of bf16).
   int4: per-(row, group) absmax scaling with group_size input columns,
-        two nibbles packed per int8 byte (quarter of bf16).
+        two nibbles packed per uint8 byte (quarter of bf16) in a
+        **packed-halves layout**: byte ``j`` holds input columns ``j``
+        (low nibble) and ``j + in/2`` (high nibble).
 
 Dequantisation happens in the forward as a convert+multiply that XLA fuses
 into the matmul operand read; adapters and all activations stay bf16.
+The halves layout exists because the natural even/odd interleave needs a
+lane-dimension shuffle (stack+reshape) that XLA must materialize as a full
+dequantized matrix in HBM -- measured 210 us for a 5632x2048 batch-4 dot
+vs 32.5 us for the halves layout, where each half dequantizes with pure
+elementwise ops and the matmul splits into two fused half-dots
+(``y = x_lo @ W_lo^T + x_hi @ W_hi^T`` -- MonarchLinear._dense_forward).
 """
 
 from __future__ import annotations
@@ -36,26 +44,37 @@ def dequantize_int8(q, scales, dtype=jnp.float32):
 
 
 def quantize_int4(w, group_size: int = 64):
-    """(packed uint8 (out, in//2), scales f32 (out, in//group_size))."""
+    """(packed uint8 (out, in//2), scales f32 (out, in//group_size)).
+
+    Packed-halves layout: byte j = column j (low nibble) | column
+    j + in//2 (high nibble), offset-8 encoded.  Requires (in//2) to be a
+    multiple of group_size so each half's scale groups stay contiguous."""
     w = np.asarray(w, np.float32)
     out_f, in_f = w.shape
-    assert in_f % group_size == 0, f"in_features {in_f} % {group_size} != 0"
+    h = in_f // 2
+    assert in_f % 2 == 0 and h % group_size == 0, \
+        f"in_features {in_f}: half must be a multiple of {group_size}"
     g = w.reshape(out_f, in_f // group_size, group_size)
     scales = np.abs(g).max(axis=-1, keepdims=True) / 7.0
     scales = np.maximum(scales, 1e-12)
     q = np.clip(np.round(g / scales), -8, 7).astype(np.int8).reshape(out_f, in_f)
-    # pack two signed nibbles per byte (offset-8 encoding)
     u = (q + 8).astype(np.uint8)
-    packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+    packed = (u[:, :h] | (u[:, h:] << 4)).astype(np.uint8)
     return packed, scales[..., 0].astype(np.float32)
 
 
+def unpack_int4(packed):
+    """(lo, hi) int8 halves -- columns [0, in/2) and [in/2, in)."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = ((packed >> 4) & 0xF).astype(jnp.int8) - 8
+    return lo, hi
+
+
 def dequantize_int4(packed, scales, group_size: int = 64, dtype=jnp.float32):
-    lo = (packed & 0xF).astype(jnp.int32) - 8
-    hi = (packed >> 4).astype(jnp.int32) - 8
+    lo, hi = unpack_int4(packed)
     out_f = packed.shape[0]
     in_f = packed.shape[1] * 2
-    q = jnp.stack([lo, hi], axis=-1).reshape(out_f, in_f)
+    q = jnp.concatenate([lo, hi], axis=1)
     g = q.reshape(out_f, in_f // group_size, group_size).astype(jnp.float32)
     w = g * scales[..., None]
     return w.reshape(out_f, in_f).astype(dtype)
@@ -80,7 +99,8 @@ def _quantize_int4_device(w, group_size):
     scales = jnp.maximum(jnp.abs(g).max(axis=-1, keepdims=True) / 7.0, 1e-12)
     q = jnp.clip(jnp.round(g / scales), -8, 7).astype(jnp.int8).reshape(out_f, in_f)
     u = (q + 8).astype(jnp.uint8)
-    packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)
+    h = in_f // 2
+    packed = (u[:, :h] | (u[:, h:] << 4)).astype(jnp.uint8)
     return packed, scales[..., 0]
 
 
@@ -106,8 +126,9 @@ def quantize_frozen_base(model: nnx.Module, bits: int = 8,
             if bits == 8:
                 q, scales = _quantize_int8_device(w)
             else:
-                if w.shape[1] % group_size != 0:
-                    continue  # ragged layer stays bf16
+                if w.shape[1] % (2 * group_size) != 0:
+                    continue  # ragged layer stays bf16 (halves layout
+                    # needs in/2 to be a multiple of group_size)
                 q, scales = quant4(w, group_size)
             child.dense.set_value(q)
             child.dense_scales = nnx.Variable(scales)
