@@ -46,6 +46,12 @@ def parse_args():
     p.add_argument("--group_by_length", default=True, type=eval,
                    help="co-batch similar lengths and trim the time axis to "
                         "bucketed maxima (reference qlora default)")
+    p.add_argument("--pack", default=False, type=eval,
+                   help="sequence packing: bin-pack examples into full rows "
+                        "with segment-masked attention (TPU-native; beats "
+                        "group_by_length on short-example mixes)")
+    p.add_argument("--pack_max_len", default=None, type=int,
+                   help="packed row length (default source+target max len)")
     p.add_argument("--do_eval", default=True, type=eval)
     p.add_argument("--eval_dataset_size", default=1024, type=int,
                    help="held-out examples for eval loss (reference qlora.py)")
@@ -197,7 +203,18 @@ def main():
     collate = lambda items: collate_causal_lm(
         items, tokenizer, source_max_len=src_len, target_max_len=tgt_len,
         train_on_source=args.train_on_source)
-    train_data = collate(train_items)
+    if args.pack:
+        from sparse_matrix_fine_tuning_tpu.data.alpaca import pack_causal_lm
+        train_data, eff = pack_causal_lm(
+            train_items, tokenizer,
+            max_len=args.pack_max_len or (src_len + tgt_len),
+            source_max_len=src_len, target_max_len=tgt_len,
+            train_on_source=args.train_on_source)
+        print(f"[alpaca] packed {len(train_items)} examples into "
+              f"{len(train_data['input_ids'])} rows "
+              f"({eff:.0%} token efficiency)")
+    else:
+        train_data = collate(train_items)
     eval_data = collate(eval_items) if (eval_items and args.do_eval) else None
 
     mmlu_eval = mmlu_dev = None
@@ -208,7 +225,8 @@ def main():
                                    seed=args.seed + 1, smoke_n=8)
 
     def lm_loss(model, batch, train):
-        logits = model(batch["input_ids"], attention_mask=batch["attention_mask"])
+        logits = model(batch["input_ids"], attention_mask=batch["attention_mask"],
+                       segment_ids=batch.get("segment_ids"))
         return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
 
     def mmlu_metrics(model, _data):

@@ -1,13 +1,18 @@
-"""Throughput effect of TPU-native group_by_length (training/trainer.py).
+"""Batching-strategy throughput: plain vs group_by_length vs packing.
 
 The reference relies on HF's LengthGroupedSampler (qlora_monarch.py:537-544)
-to co-batch similar lengths; padding still goes to the batch max.  Here
-grouping also TRIMS each batch's time axis to a bucketed max, so short
-batches run genuinely shorter programs (a handful of static shapes, each
-compiled once).  This script times one epoch over a ragged instruction-
-tuning-shaped dataset, grouped vs ungrouped, on a small Llama.
+to co-batch similar lengths; padding still goes to the batch max.  This
+repo offers two TPU-native upgrades (one epoch over a ragged
+instruction-tuning-shaped dataset, same true tokens each way):
 
-Run: timeout 1800 python -u scripts/bench_group_by_length.py
+  * group_by_length (training/trainer.py): grouping + TRIMS each batch's
+    time axis to a bucketed max -- a handful of static shapes.
+  * sequence packing (data/alpaca.pack_causal_lm + models/llama.py
+    segment_ids): bin-packs examples into full rows with block-diagonal
+    attention masking and per-segment RoPE restarts; one static shape,
+    near-zero padding.
+
+Run: timeout 1800 python -u scripts/bench_batching.py
 """
 import os
 import sys
@@ -46,11 +51,42 @@ print(f"rows {N}, T {T}, mean len {lens.mean():.0f}, p90 {np.percentile(lens, 90
 
 
 def lm_loss(model, batch, train):
-    logits = model(batch["input_ids"], attention_mask=batch["attention_mask"])
+    logits = model(batch["input_ids"], attention_mask=batch["attention_mask"],
+                   segment_ids=batch.get("segment_ids"))
     return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
 
 
-def run(group: bool) -> float:
+def pack_rows():
+    """Bin-pack the same true tokens into full T-length rows (first-fit
+    decreasing), mirroring data/alpaca.pack_causal_lm on raw arrays."""
+    order = np.argsort(-lens)
+    bins, space = [], []
+    for i in order:
+        L = int(lens[i])
+        for b, free in enumerate(space):
+            if free >= L:
+                bins[b].append(i)
+                space[b] -= L
+                break
+        else:
+            bins.append([i])
+            space.append(T - L)
+    n = len(bins)
+    p_ids = np.zeros((n, T), np.int32)
+    p_seg = np.zeros((n, T), np.int32)
+    for r, members in enumerate(bins):
+        pos = 0
+        for s, i in enumerate(members, start=1):
+            L = int(lens[i])
+            p_ids[r, pos:pos + L] = ids[i, :L]
+            p_seg[r, pos:pos + L] = s
+            pos += L
+    p_labels = np.where(p_seg > 0, p_ids, -100)
+    return {"input_ids": p_ids, "attention_mask": (p_seg > 0).astype(np.int32),
+            "segment_ids": p_seg, "labels": p_labels}
+
+
+def run(group: bool, use_data=None) -> float:
     model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
     init_monarch(model, {"monarch": True, "nblocks": 4, "blk_r": 4,
                          "adapter": True,
@@ -58,11 +94,12 @@ def run(group: bool) -> float:
                                             "o_proj", "gate_proj", "up_proj",
                                             "down_proj"]},
                  rngs=nnx.Rngs(1))
+    d = data if use_data is None else use_data
     args = TrainingArgs(output_dir=f"/tmp/gbl_{group}", learning_rate=5e-4,
                         num_train_epochs=1, per_device_train_batch_size=BS,
                         logging_steps=0, log_param_steps=0, save_steps=0,
                         group_by_length=group, length_bucket=128)
-    t = Trainer(model, args, train_data=data, loss_fn=lm_loss)
+    t = Trainer(model, args, train_data=d, loss_fn=lm_loss)
     t.model.train()
     # warmup epoch with the SAME shuffle seed as the timed one: identical
     # batch composition, so every bucket shape compiles before timing.
@@ -71,18 +108,25 @@ def run(group: bool) -> float:
     # single-shape ungrouped run fast) and, conversely, pathologically
     # serializes mixed-executable queues (faking the grouped run slow) --
     # measured: identical grouped epochs read 354s unsynced vs 5.2s synced
-    for batch, _ in t._batches(data, BS, shuffle=True, seed=2):
+    for batch, _ in t._batches(d, BS, shuffle=True, seed=2):
         t._train_step(t.model, t.optimizer, batch).block_until_ready()
     t0 = time.time()
-    for batch, _ in t._batches(data, BS, shuffle=True, seed=2):
+    for batch, _ in t._batches(d, BS, shuffle=True, seed=2):
         t._train_step(t.model, t.optimizer, batch).block_until_ready()
     return time.time() - t0
 
 
+packed_data = pack_rows()
+n_packed = len(packed_data["input_ids"])
+print(f"packed: {N} examples -> {n_packed} rows "
+      f"({mask.sum() / (n_packed * T):.0%} token efficiency)", flush=True)
 t_grouped = run(True)
 t_plain = run(False)
+t_packed = run(False, use_data=packed_data)
 toks = int(mask.sum())
 print(f"ungrouped epoch: {t_plain:.2f}s  ({toks / t_plain:.0f} true-tokens/s)",
       flush=True)
 print(f"grouped epoch:   {t_grouped:.2f}s  ({toks / t_grouped:.0f} true-tokens/s)"
       f"  -> {t_plain / t_grouped:.2f}x", flush=True)
+print(f"packed epoch:    {t_packed:.2f}s  ({toks / t_packed:.0f} true-tokens/s)"
+      f"  -> {t_plain / t_packed:.2f}x", flush=True)

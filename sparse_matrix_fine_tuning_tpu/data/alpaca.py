@@ -112,6 +112,79 @@ def collate_causal_lm(items: Sequence[dict], tokenizer, *,
     return out
 
 
+def pack_causal_lm(items: Sequence[dict], tokenizer, *,
+                   max_len: int = 2048, source_max_len: int = 1024,
+                   target_max_len: int = 256, train_on_source: bool = False,
+                   task: str = "alpaca"):
+    """SEQUENCE PACKING: several examples per row with segment ids.
+
+    The TPU-stronger sibling of group_by_length: instead of trimming
+    per-batch padding, short examples are bin-packed (first-fit decreasing)
+    into full ``max_len`` rows.  ``segment_ids`` (1..n per row, 0 = pad)
+    drive block-diagonal attention masking and per-segment RoPE restarts in
+    models/llama.py, so the packed forward is exactly equivalent to running
+    each example alone.  Each segment's FIRST token gets an IGNORE label
+    (it is BOS; this also keeps the shifted loss from pairing a segment's
+    last logit with the next segment's first token when train_on_source).
+
+    Returns ({input_ids, attention_mask, segment_ids, labels}, efficiency)
+    where efficiency = true tokens / (rows * max_len).
+    """
+    pad_id = tokenizer.pad_token_id
+    seqs = []
+    for item in items:
+        if "raw_input" in item:
+            prompt, target_text = item["raw_input"], item["output"]
+        else:
+            prompt, full = build_prompt(task, item, "")
+            target_text = full[len(prompt):]
+        src = tokenizer.encode_ids(prompt, add_bos=True)[:source_max_len]
+        tgt = (tokenizer.encode_ids(target_text, add_bos=False)
+               + [tokenizer.eos_token_id])[:target_max_len]
+        ids = (src + tgt)[:max_len]
+        if train_on_source:
+            labels = list(ids)
+        else:
+            labels = ([IGNORE_INDEX] * len(src) + list(tgt))[:max_len]
+        labels[0] = IGNORE_INDEX  # segment seam / BOS
+        seqs.append((ids, labels))
+
+    # first-fit decreasing
+    order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i][0]))
+    bins: list[list[int]] = []
+    space: list[int] = []
+    for i in order:
+        L = len(seqs[i][0])
+        for b, free in enumerate(space):
+            if free >= L:
+                bins[b].append(i)
+                space[b] -= L
+                break
+        else:
+            bins.append([i])
+            space.append(max_len - L)
+
+    n = len(bins)
+    input_ids = np.full((n, max_len), pad_id, np.int32)
+    segment_ids = np.zeros((n, max_len), np.int32)
+    labels = np.full((n, max_len), IGNORE_INDEX, np.int32)
+    true_tokens = 0
+    for r, members in enumerate(bins):
+        pos = 0
+        for s, i in enumerate(members, start=1):
+            ids, labs = seqs[i]
+            L = len(ids)
+            input_ids[r, pos:pos + L] = ids
+            labels[r, pos:pos + L] = labs
+            segment_ids[r, pos:pos + L] = s
+            pos += L
+        true_tokens += pos
+    data = {"input_ids": input_ids,
+            "attention_mask": (segment_ids > 0).astype(np.int32),
+            "segment_ids": segment_ids, "labels": labels}
+    return data, true_tokens / max(n * max_len, 1)
+
+
 def train_eval_split(items: Sequence[dict], eval_dataset_size: int, seed: int = 42):
     """Held-out eval split (reference qlora.py eval_dataset_size /
     train_test_split; round 1 evaluated loss on the training set)."""

@@ -196,15 +196,32 @@ class LlamaModel(nnx.Module):
         return block, inner
 
     def __call__(self, input_ids, attention_mask=None, positions=None, caches=None,
-                 cache_index=None, layer_hooks=None):
+                 cache_index=None, layer_hooks=None, segment_ids=None):
         """layer_hooks: optional {layer_idx_or_(layer, component): fn(hidden)
         -> hidden} activation intervention hook points (the TPU-native
-        analogue of pyvene's forward hooks)."""
+        analogue of pyvene's forward hooks).
+
+        segment_ids: optional (b, t) int for SEQUENCE PACKING (several
+        examples per row, data/alpaca.pack_causal_lm): tokens attend only
+        within their own segment and RoPE positions restart at each segment
+        boundary, so a packed forward is exactly equivalent to running each
+        example alone.  Requires a bias-carrying attention impl
+        (einsum/dpa -- the default; splash builds its own causal mask).
+        Training-path only (decode never packs)."""
         block_hooks, inner_hooks = self._split_hooks(layer_hooks)
         b, t = input_ids.shape
         x = self.embed_tokens(input_ids)
         if positions is None:
-            positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+            if segment_ids is not None:
+                # position = offset within the token's own segment
+                idx = jnp.broadcast_to(jnp.arange(t), (b, t))
+                boundary = jnp.concatenate(
+                    [jnp.ones((b, 1), bool),
+                     segment_ids[:, 1:] != segment_ids[:, :-1]], axis=1)
+                seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0), axis=1)
+                positions = idx - seg_start
+            else:
+                positions = jnp.broadcast_to(jnp.arange(t), (b, t))
         if caches is None:
             # training/prefill: causal mask (+ padding mask)
             causal = jnp.tril(jnp.ones((t, t), dtype=bool))
@@ -213,6 +230,10 @@ class LlamaModel(nnx.Module):
                 pad = (1.0 - attention_mask[:, None, None, :].astype(x.dtype)) * jnp.asarray(
                     -1e9, x.dtype)
                 bias = bias + pad
+            if segment_ids is not None:
+                same = (segment_ids[:, None, :, None]
+                        == segment_ids[:, None, None, :])
+                bias = bias + jnp.where(same, 0.0, -1e9).astype(x.dtype)
             new_caches = None
             if self.config.remat:
                 # recompute each decoder layer in the backward: activation
@@ -270,10 +291,10 @@ class LlamaForCausalLM(nnx.Module):
         return self.lm_head(hidden)
 
     def __call__(self, input_ids, attention_mask=None, positions=None, caches=None,
-                 cache_index=None, layer_hooks=None):
+                 cache_index=None, layer_hooks=None, segment_ids=None):
         hidden, new_caches = self.model(
             input_ids, attention_mask, positions, caches, cache_index,
-            layer_hooks=layer_hooks)
+            layer_hooks=layer_hooks, segment_ids=segment_ids)
         out = self.logits(hidden)
         return (out, new_caches) if caches is not None else out
 

@@ -259,7 +259,7 @@ class Trainer:
     # unpadded length for right-padded training rows) so trimming the pad
     # tail never invalidates them -- but their axis 1 is not time, skip them
     _TIME_KEYS = ("input_ids", "attention_mask", "labels", "token_type_ids",
-                  "position_ids")
+                  "position_ids", "segment_ids")
 
     def _length_grouped_order(self, data, idx, macro):
         """HF LengthGroupedSampler semantics (reference qlora group_by_length):

@@ -4,6 +4,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 
@@ -50,6 +52,13 @@ def test_alpaca_do_predict_writes_jsonl(tmp_path):
     for row in rows:
         assert "prediction" in row and "prediction_with_input" in row
         assert "output" in row  # original example fields preserved
+
+
+def test_alpaca_pack_flag(tmp_path):
+    """--pack bin-packs train examples into segment-masked rows and still
+    trains/evaluates (eval stays unpacked)."""
+    metrics = _run(tmp_path, ["--do_mmlu_eval=False", "--pack=True"])
+    assert "eval_loss" in metrics and np.isfinite(metrics["eval_loss"])
 
 
 def test_alpaca_metrics_jsonl(tmp_path):
