@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("-rank", "--rank", default=4, type=int,
                    help="intervention low-rank dimension")
     p.add_argument("--all_linear", default=True, type=eval)
+    p.add_argument("--pack", default=False, type=eval,
+                   help="sequence packing of training rows (segment-masked "
+                        "attention; incompatible with ReFT interventions)")
     p.add_argument("--do_tune", default=False, type=eval)
     p.add_argument("--parallel_trials", default=1, type=int)
     p.add_argument("--n_trials", default=6, type=int)
@@ -154,11 +157,23 @@ def main():
     keep_cols = ("input_ids", "attention_mask", "labels") + (
         ("intervention_locations",) if use_reft else ())
     train_data = {k: v for k, v in train_data.items() if k in keep_cols}
+    if args.pack:
+        if use_reft:
+            raise SystemExit("--pack is incompatible with ReFT interventions "
+                             "(position bookkeeping assumes unpacked rows); "
+                             "use --intervention_type Nothing")
+        from sparse_matrix_fine_tuning_tpu.data.alpaca import pack_tokenized
+        n_before = len(train_data["input_ids"])
+        train_data, eff = pack_tokenized(train_data, args.max_length)
+        print(f"[reasoning] packed {n_before} examples into "
+              f"{len(train_data['input_ids'])} rows ({eff:.0%} token efficiency)")
 
     def lm_loss(model, batch, train):
         kw = {}
         if "intervention_locations" in batch:
             kw["intervention_locations"] = batch["intervention_locations"]
+        if "segment_ids" in batch:
+            kw["segment_ids"] = batch["segment_ids"]
         logits = model(batch["input_ids"], attention_mask=batch["attention_mask"], **kw)
         return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
 

@@ -112,6 +112,67 @@ def collate_causal_lm(items: Sequence[dict], tokenizer, *,
     return out
 
 
+def _first_fit_decreasing(lengths: Sequence[int], max_len: int) -> list:
+    """Bin indices by first-fit decreasing; each bin's lengths sum <= max_len."""
+    order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
+    bins: list[list[int]] = []
+    space: list[int] = []
+    for i in order:
+        L = min(int(lengths[i]), max_len)
+        for b, free in enumerate(space):
+            if free >= L:
+                bins[b].append(i)
+                space[b] -= L
+                break
+        else:
+            bins.append([i])
+            space.append(max_len - L)
+    return bins
+
+
+def pack_tokenized(data: dict, max_len: int):
+    """Pack ALREADY-TOKENIZED right-padded rows into segment-masked rows.
+
+    Generic sibling of pack_causal_lm for harnesses that tokenize first
+    (run_reasoning.py): takes {input_ids, attention_mask, labels}, extracts
+    each row's true tokens (mask > 0 -- works even with a leading masked
+    sink token), bin-packs them, and emits segment ids.  Each segment's
+    first token label is forced to IGNORE (seam masking for the shifted
+    loss).  Returns (packed dict, token efficiency).
+    """
+    ids = np.asarray(data["input_ids"])
+    mask = np.asarray(data["attention_mask"])
+    labels = np.asarray(data["labels"])
+    rows = []
+    for i in range(len(ids)):
+        sel = mask[i] > 0
+        r_ids, r_lab = ids[i][sel][:max_len], labels[i][sel][:max_len].copy()
+        if len(r_lab):
+            r_lab[0] = IGNORE_INDEX
+        rows.append((r_ids, r_lab))
+    bins = _first_fit_decreasing([len(r[0]) for r in rows], max_len)
+    n = len(bins)
+    pad_id = int(ids[mask == 0][0]) if (mask == 0).any() else 0
+    p_ids = np.full((n, max_len), pad_id, np.int32)
+    p_seg = np.zeros((n, max_len), np.int32)
+    p_lab = np.full((n, max_len), IGNORE_INDEX, np.int32)
+    true_tokens = 0
+    for r, members in enumerate(bins):
+        pos = 0
+        for s, i in enumerate(members, start=1):
+            r_ids, r_lab = rows[i]
+            L = len(r_ids)
+            p_ids[r, pos:pos + L] = r_ids
+            p_lab[r, pos:pos + L] = r_lab
+            p_seg[r, pos:pos + L] = s
+            pos += L
+        true_tokens += pos
+    packed = {"input_ids": p_ids,
+              "attention_mask": (p_seg > 0).astype(np.int32),
+              "segment_ids": p_seg, "labels": p_lab}
+    return packed, true_tokens / max(n * max_len, 1)
+
+
 def pack_causal_lm(items: Sequence[dict], tokenizer, *,
                    max_len: int = 2048, source_max_len: int = 1024,
                    target_max_len: int = 256, train_on_source: bool = False,
@@ -149,21 +210,7 @@ def pack_causal_lm(items: Sequence[dict], tokenizer, *,
         labels[0] = IGNORE_INDEX  # segment seam / BOS
         seqs.append((ids, labels))
 
-    # first-fit decreasing
-    order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i][0]))
-    bins: list[list[int]] = []
-    space: list[int] = []
-    for i in order:
-        L = len(seqs[i][0])
-        for b, free in enumerate(space):
-            if free >= L:
-                bins[b].append(i)
-                space[b] -= L
-                break
-        else:
-            bins.append([i])
-            space.append(max_len - L)
-
+    bins = _first_fit_decreasing([len(s[0]) for s in seqs], max_len)
     n = len(bins)
     input_ids = np.full((n, max_len), pad_id, np.int32)
     segment_ids = np.zeros((n, max_len), np.int32)

@@ -99,6 +99,30 @@ def test_pack_causal_lm_covers_and_respects_bounds():
     np.testing.assert_array_equal(data["attention_mask"], (seg > 0))
 
 
+def test_pack_tokenized_reasoning_rows():
+    """Generic packer over pre-tokenized rows (run_reasoning path): handles
+    the leading masked sink token and preserves per-token labels."""
+    from sparse_matrix_fine_tuning_tpu.data.alpaca import pack_tokenized
+    from sparse_matrix_fine_tuning_tpu.data.reasoning import tokenize_reasoning
+    tok = SimpleTokenizer(vocab_size=512)
+    items = [{"instruction": f"compute {i} plus {i}", "output": str(2 * i),
+              "answer": str(2 * i)} for i in range(20)]
+    data = tokenize_reasoning("math", items, tok, max_length=64, split="train")
+    data = {k: v for k, v in data.items()
+            if k in ("input_ids", "attention_mask", "labels")}
+    packed, eff = pack_tokenized(data, 128)
+    assert packed["input_ids"].shape[0] < 20
+    assert 0.3 < eff <= 1.0
+    n_segments = sum(len(set(row[row > 0])) for row in packed["segment_ids"])
+    assert n_segments == 20
+    # the supervised target tokens all survive packing
+    orig_targets = int(((np.asarray(data["labels"]) != IGNORE_INDEX)
+                        & (np.asarray(data["attention_mask"]) > 0)).sum())
+    packed_targets = int((packed["labels"] != IGNORE_INDEX).sum())
+    # each segment loses at most its first token to seam masking
+    assert orig_targets - 20 <= packed_targets <= orig_targets
+
+
 def test_packed_training_learns(tmp_path):
     """End-to-end: packed next-token task trains and loss decreases."""
     from sparse_matrix_fine_tuning_tpu.peft import init_monarch
