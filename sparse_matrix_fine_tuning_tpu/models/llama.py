@@ -231,6 +231,12 @@ class LlamaModel(nnx.Module):
                     -1e9, x.dtype)
                 bias = bias + pad
             if segment_ids is not None:
+                if self.config.attention_impl == "splash":
+                    # splash builds its own pure-causal mask and ignores the
+                    # bias -- it would silently attend across segments
+                    raise ValueError(
+                        "sequence packing (segment_ids) requires a "
+                        "bias-carrying attention_impl (einsum or dpa)")
                 same = (segment_ids[:, None, :, None]
                         == segment_ids[:, None, None, :])
                 bias = bias + jnp.where(same, 0.0, -1e9).astype(x.dtype)
