@@ -57,33 +57,10 @@ def lm_loss(model, batch, train):
 
 
 def pack_rows():
-    """Bin-pack the same true tokens into full T-length rows (first-fit
-    decreasing), mirroring data/alpaca.pack_causal_lm on raw arrays."""
-    order = np.argsort(-lens)
-    bins, space = [], []
-    for i in order:
-        L = int(lens[i])
-        for b, free in enumerate(space):
-            if free >= L:
-                bins[b].append(i)
-                space[b] -= L
-                break
-        else:
-            bins.append([i])
-            space.append(T - L)
-    n = len(bins)
-    p_ids = np.zeros((n, T), np.int32)
-    p_seg = np.zeros((n, T), np.int32)
-    for r, members in enumerate(bins):
-        pos = 0
-        for s, i in enumerate(members, start=1):
-            L = int(lens[i])
-            p_ids[r, pos:pos + L] = ids[i, :L]
-            p_seg[r, pos:pos + L] = s
-            pos += L
-    p_labels = np.where(p_seg > 0, p_ids, -100)
-    return {"input_ids": p_ids, "attention_mask": (p_seg > 0).astype(np.int32),
-            "segment_ids": p_seg, "labels": p_labels}
+    """Bin-pack the same true tokens via the production packer."""
+    from sparse_matrix_fine_tuning_tpu.data.alpaca import pack_tokenized
+    packed, _ = pack_tokenized(data, T)
+    return packed
 
 
 def run(group: bool, use_data=None) -> float:

@@ -60,6 +60,28 @@ def format_items(items: Sequence[dict], dataset_format: str | None,
     return out
 
 
+def _encode_example(item: dict, tokenizer, *, source_max_len: int,
+                    target_max_len: int, train_on_source: bool, task: str):
+    """One example -> (src_ids, full_ids, labels) with INDEPENDENT source/
+    target truncation.  The single shared tokenize path for the collator
+    AND the packer, so truncation/BOS/EOS semantics can never diverge."""
+    if "raw_input" in item:  # pre-built source (format_items non-alpaca)
+        prompt, target_text = item["raw_input"], item["output"]
+    else:
+        prompt, full = build_prompt(task, item, "")
+        target_text = full[len(prompt):]
+    # BOS carried by the source (reference prepends tokenizer.bos_token)
+    src = tokenizer.encode_ids(prompt, add_bos=True)[:source_max_len]
+    tgt = (tokenizer.encode_ids(target_text, add_bos=False)
+           + [tokenizer.eos_token_id])[:target_max_len]
+    ids = src + tgt
+    if train_on_source:
+        labels = list(ids)
+    else:
+        labels = [IGNORE_INDEX] * len(src) + list(tgt)
+    return src, ids, labels
+
+
 def collate_causal_lm(items: Sequence[dict], tokenizer, *,
                       source_max_len: int = 1024, target_max_len: int = 256,
                       train_on_source: bool = False,
@@ -69,26 +91,16 @@ def collate_causal_lm(items: Sequence[dict], tokenizer, *,
     pad_id = tokenizer.pad_token_id
     rows_ids, rows_labels = [], []
     for item in items:
-        if "raw_input" in item:  # pre-built source (format_items non-alpaca)
-            prompt, target_text = item["raw_input"], item["output"]
-        else:
-            prompt, full = build_prompt(task, item, "")
-            target_text = full[len(prompt):]
-        # BOS carried by the source (reference prepends tokenizer.bos_token)
-        src = tokenizer.encode_ids(prompt, add_bos=True)[:source_max_len]
-        tgt = (tokenizer.encode_ids(target_text, add_bos=False)
-               + [tokenizer.eos_token_id])[:target_max_len]
+        src, ids, labels = _encode_example(
+            item, tokenizer, source_max_len=source_max_len,
+            target_max_len=target_max_len, train_on_source=train_on_source,
+            task=task)
         if predict_with_generate:
             rows_ids.append(src)
             rows_labels.append(None)
-            continue
-        ids = src + tgt
-        if train_on_source:
-            labels = list(ids)
         else:
-            labels = [IGNORE_INDEX] * len(src) + list(tgt)
-        rows_ids.append(ids)
-        rows_labels.append(labels)
+            rows_ids.append(ids)
+            rows_labels.append(labels)
 
     total = source_max_len + (0 if predict_with_generate else target_max_len)
     maxlen = min(max(len(r) for r in rows_ids), total)
@@ -112,22 +124,50 @@ def collate_causal_lm(items: Sequence[dict], tokenizer, *,
     return out
 
 
-def _first_fit_decreasing(lengths: Sequence[int], max_len: int) -> list:
-    """Bin indices by first-fit decreasing; each bin's lengths sum <= max_len."""
+def _bin_pack_decreasing(lengths: Sequence[int], max_len: int) -> list:
+    """Bin indices by BEST-fit decreasing; each bin's lengths sum <= max_len.
+
+    bisect on a sorted free-space list keeps this ~O(n log n + n * bins
+    memmove-in-C) -- a naive first-fit scan is O(n * bins) pure Python,
+    minutes of startup on the 52k-example alpaca set."""
+    import bisect
     order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
     bins: list[list[int]] = []
-    space: list[int] = []
+    free: list[tuple] = []  # sorted (space, bin_idx)
     for i in order:
         L = min(int(lengths[i]), max_len)
-        for b, free in enumerate(space):
-            if free >= L:
-                bins[b].append(i)
-                space[b] -= L
-                break
+        j = bisect.bisect_left(free, (L, -1))
+        if j < len(free):
+            space, b = free.pop(j)
+            bins[b].append(i)
+            bisect.insort(free, (space - L, b))
         else:
             bins.append([i])
-            space.append(max_len - L)
+            bisect.insort(free, (max_len - L, len(bins) - 1))
     return bins
+
+
+def _fill_bins(rows: list, bins: list, max_len: int, pad_id: int):
+    """rows: [(ids, labels)] ragged; emit the packed arrays + efficiency."""
+    n = len(bins)
+    p_ids = np.full((n, max_len), pad_id, np.int32)
+    p_seg = np.zeros((n, max_len), np.int32)
+    p_lab = np.full((n, max_len), IGNORE_INDEX, np.int32)
+    true_tokens = 0
+    for r, members in enumerate(bins):
+        pos = 0
+        for s, i in enumerate(members, start=1):
+            r_ids, r_lab = rows[i]
+            L = len(r_ids)
+            p_ids[r, pos:pos + L] = r_ids
+            p_lab[r, pos:pos + L] = r_lab
+            p_seg[r, pos:pos + L] = s
+            pos += L
+        true_tokens += pos
+    packed = {"input_ids": p_ids,
+              "attention_mask": (p_seg > 0).astype(np.int32),
+              "segment_ids": p_seg, "labels": p_lab}
+    return packed, true_tokens / max(n * max_len, 1)
 
 
 def pack_tokenized(data: dict, max_len: int):
@@ -150,27 +190,9 @@ def pack_tokenized(data: dict, max_len: int):
         if len(r_lab):
             r_lab[0] = IGNORE_INDEX
         rows.append((r_ids, r_lab))
-    bins = _first_fit_decreasing([len(r[0]) for r in rows], max_len)
-    n = len(bins)
+    bins = _bin_pack_decreasing([len(r[0]) for r in rows], max_len)
     pad_id = int(ids[mask == 0][0]) if (mask == 0).any() else 0
-    p_ids = np.full((n, max_len), pad_id, np.int32)
-    p_seg = np.zeros((n, max_len), np.int32)
-    p_lab = np.full((n, max_len), IGNORE_INDEX, np.int32)
-    true_tokens = 0
-    for r, members in enumerate(bins):
-        pos = 0
-        for s, i in enumerate(members, start=1):
-            r_ids, r_lab = rows[i]
-            L = len(r_ids)
-            p_ids[r, pos:pos + L] = r_ids
-            p_lab[r, pos:pos + L] = r_lab
-            p_seg[r, pos:pos + L] = s
-            pos += L
-        true_tokens += pos
-    packed = {"input_ids": p_ids,
-              "attention_mask": (p_seg > 0).astype(np.int32),
-              "segment_ids": p_seg, "labels": p_lab}
-    return packed, true_tokens / max(n * max_len, 1)
+    return _fill_bins(rows, bins, max_len, pad_id)
 
 
 def pack_causal_lm(items: Sequence[dict], tokenizer, *,
@@ -194,42 +216,16 @@ def pack_causal_lm(items: Sequence[dict], tokenizer, *,
     pad_id = tokenizer.pad_token_id
     seqs = []
     for item in items:
-        if "raw_input" in item:
-            prompt, target_text = item["raw_input"], item["output"]
-        else:
-            prompt, full = build_prompt(task, item, "")
-            target_text = full[len(prompt):]
-        src = tokenizer.encode_ids(prompt, add_bos=True)[:source_max_len]
-        tgt = (tokenizer.encode_ids(target_text, add_bos=False)
-               + [tokenizer.eos_token_id])[:target_max_len]
-        ids = (src + tgt)[:max_len]
-        if train_on_source:
-            labels = list(ids)
-        else:
-            labels = ([IGNORE_INDEX] * len(src) + list(tgt))[:max_len]
+        _, ids, labels = _encode_example(
+            item, tokenizer, source_max_len=source_max_len,
+            target_max_len=target_max_len, train_on_source=train_on_source,
+            task=task)
+        ids, labels = ids[:max_len], labels[:max_len]
         labels[0] = IGNORE_INDEX  # segment seam / BOS
         seqs.append((ids, labels))
 
-    bins = _first_fit_decreasing([len(s[0]) for s in seqs], max_len)
-    n = len(bins)
-    input_ids = np.full((n, max_len), pad_id, np.int32)
-    segment_ids = np.zeros((n, max_len), np.int32)
-    labels = np.full((n, max_len), IGNORE_INDEX, np.int32)
-    true_tokens = 0
-    for r, members in enumerate(bins):
-        pos = 0
-        for s, i in enumerate(members, start=1):
-            ids, labs = seqs[i]
-            L = len(ids)
-            input_ids[r, pos:pos + L] = ids
-            labels[r, pos:pos + L] = labs
-            segment_ids[r, pos:pos + L] = s
-            pos += L
-        true_tokens += pos
-    data = {"input_ids": input_ids,
-            "attention_mask": (segment_ids > 0).astype(np.int32),
-            "segment_ids": segment_ids, "labels": labels}
-    return data, true_tokens / max(n * max_len, 1)
+    bins = _bin_pack_decreasing([len(s[0]) for s in seqs], max_len)
+    return _fill_bins(seqs, bins, max_len, pad_id)
 
 
 def train_eval_split(items: Sequence[dict], eval_dataset_size: int, seed: int = 42):

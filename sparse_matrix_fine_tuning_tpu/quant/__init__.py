@@ -104,6 +104,21 @@ def _quantize_int4_device(w, group_size):
     return packed, scales[..., 0]
 
 
+def _fit_group(in_f: int, group_size: int):
+    """Largest group <= group_size that divides in_f//2 (the halves layout
+    needs each half's scale groups contiguous).  Layers whose in_features
+    is not a multiple of the requested group still quantize with a
+    slightly smaller per-layer group (e.g. 8640 -> 60) instead of
+    silently staying bf16."""
+    if in_f % 2:
+        return None
+    half = in_f // 2
+    for g in range(min(group_size, half), 7, -1):
+        if half % g == 0:
+            return g
+    return None  # groups < 8 would balloon the f32 scales; stay bf16
+
+
 def quantize_frozen_base(model: nnx.Module, bits: int = 8,
                          group_size: int = 64) -> int:
     """Quantize every MonarchLinear's frozen dense weight in place.
@@ -119,20 +134,27 @@ def quantize_frozen_base(model: nnx.Module, bits: int = 8,
     from sparse_matrix_fine_tuning_tpu.peft.surgery import _iter_parents
     quant4 = jax.jit(_quantize_int4_device, static_argnums=(1,))
     n = 0
-    for _, _, child in _iter_parents(model):
+    # _iter_parents yields descendants only -- include the root so a bare
+    # MonarchLinear quantizes too (layer micro-bench / unit-test path)
+    candidates = [model] if isinstance(model, MonarchLinear) else []
+    candidates += [child for _, _, child in _iter_parents(model)]
+    for child in candidates:
         if isinstance(child, MonarchLinear) and child.dense is not None \
                 and child.as_adapter and not getattr(child, "quant_bits", 0):
             w = child.dense[...]
             if bits == 8:
                 q, scales = _quantize_int8_device(w)
             else:
-                if w.shape[1] % (2 * group_size) != 0:
-                    continue  # ragged layer stays bf16 (halves layout
-                    # needs in/2 to be a multiple of group_size)
-                q, scales = quant4(w, group_size)
+                g = _fit_group(w.shape[1], group_size)
+                if g is None:
+                    print(f"[quant] skipping {w.shape} layer: in_features "
+                          f"has no halves-compatible group <= {group_size}; "
+                          f"stays bf16")
+                    continue
+                q, scales = quant4(w, g)
             child.dense.set_value(q)
             child.dense_scales = nnx.Variable(scales)
             child.quant_bits = bits
-            child.quant_group = group_size
+            child.quant_group = group_size if bits == 8 else g
             n += 1
     return n

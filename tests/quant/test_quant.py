@@ -39,9 +39,28 @@ def test_quantized_layer_forward_close():
     layer = MonarchLinear(64, 64, weights=w, rngs=nnx.Rngs(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
     ref = np.asarray(layer(x))
-    quantize_frozen_base(layer, bits=8)
+    n = quantize_frozen_base(layer, bits=8)
+    assert n == 1, "bare-layer root must quantize (was vacuously 0)"
     out8 = np.asarray(layer(x))
-    assert np.abs(out8 - ref).max() < 0.02 * np.abs(ref).max() + 0.01
+    diff = np.abs(out8 - ref).max()
+    assert 0 < diff < 0.02 * np.abs(ref).max() + 0.01
+
+
+def test_quantized_layer_int4_odd_infeatures():
+    """in_features whose half is not a multiple of 64 still quantizes via
+    the per-layer group fallback (e.g. 8640 -> group 60; the 3.3B
+    down_proj shape that a stricter check silently skipped)."""
+    from sparse_matrix_fine_tuning_tpu.quant import _fit_group
+    assert _fit_group(8640, 64) == 60
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 480)) * 0.1
+    layer = MonarchLinear(480, 32, weights=w, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 480))
+    ref = np.asarray(layer(x))
+    n = quantize_frozen_base(layer, bits=4, group_size=64)
+    assert n == 1 and layer.quant_group == 60  # 240 % 64 != 0, 240 % 60 == 0
+    out4 = np.asarray(layer(x))
+    diff = np.abs(out4 - ref).max()
+    assert 0 < diff < 0.1 * np.abs(ref).max() + 0.02
 
 
 def test_quantized_model_trains():
