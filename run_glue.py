@@ -222,6 +222,11 @@ def main():
         save_steps=task_cfg.get("save_steps", 0),
         save_total_limit=task_cfg.get("save_total_limit", 1),
         load_best_model_at_end=task_cfg.get("load_best_model_at_end", False),
+        # TPU-native length grouping: GLUE sentences are short (CoLA ~10
+        # tokens) but pad to max_seq_length; trimming batches to bucketed
+        # maxima cuts most of that work (docs/BENCHMARKS.md)
+        group_by_length=task_cfg.get("group_by_length", True),
+        length_bucket=task_cfg.get("length_bucket", 32),
         seed=task_cfg.get("seed", 42))
     extra = override_config([data_args, train_args, peft_config], overrides)
     if extra:

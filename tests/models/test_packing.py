@@ -123,6 +123,45 @@ def test_pack_tokenized_reasoning_rows():
     assert orig_targets - 20 <= packed_targets <= orig_targets
 
 
+def test_packed_step_on_virtual_mesh(tmp_path):
+    """A packed training step runs under (dp, fsdp, tp) sharding -- the
+    segment bias (b,1,t,t) shards with the batch like the padding mask."""
+    from sparse_matrix_fine_tuning_tpu.parallel import make_mesh
+    from sparse_matrix_fine_tuning_tpu.peft import init_monarch
+    from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
+
+    cfg = LlamaConfig.tiny(vocab_size=64, hidden_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           num_key_value_heads=2, intermediate_size=128,
+                           max_position_embeddings=32)
+    m = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    init_monarch(m, {"monarch": True, "nblocks": 4, "blk_r": 4,
+                     "adapter": True, "target_modules": ["q_proj", "v_proj"]},
+                 rngs=nnx.Rngs(1))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 64, size=(8, 24)).astype(np.int32)
+    seg = np.repeat([[1, 2, 3]], 8, axis=0).repeat(8, axis=1)
+    labels = np.where(seg > 0, ids, IGNORE_INDEX)
+    data = {"input_ids": ids, "attention_mask": (seg > 0).astype(np.int32),
+            "segment_ids": seg, "labels": labels}
+
+    def lm_loss(model, batch, train):
+        logits = model(batch["input_ids"],
+                       attention_mask=batch["attention_mask"],
+                       segment_ids=batch.get("segment_ids"))
+        return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    args = TrainingArgs(output_dir=str(tmp_path), learning_rate=1e-3,
+                        max_steps=1, per_device_train_batch_size=8,
+                        logging_steps=0, log_param_steps=0)
+    t = Trainer(m, args, train_data=data, loss_fn=lm_loss, mesh=mesh)
+    batch, _ = next(t._batches(data, 8, shuffle=False))
+    t.model.train()
+    loss = float(t._train_step(t.model, t.optimizer, batch))
+    assert np.isfinite(loss)
+
+
 def test_packed_training_learns(tmp_path):
     """End-to-end: packed next-token task trains and loss decreases."""
     from sparse_matrix_fine_tuning_tpu.peft import init_monarch
