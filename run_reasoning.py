@@ -55,6 +55,20 @@ def parse_args():
                    help="intervention layers: 'all' or semicolon ints, e.g. 3;9;18")
     p.add_argument("-rank", "--rank", default=4, type=int,
                    help="intervention low-rank dimension")
+    p.add_argument("-sw", "--share_weights", default=False, type=eval,
+                   help="tie the first-n and last-n position interventions "
+                        "(reference loreft -sw; False doubles the "
+                        "intervention count for f+l positions)")
+    p.add_argument("-train_dataset", "--train_dataset", default=None,
+                   help="override the task's default train dataset")
+    p.add_argument("-eval_dataset", "--eval_dataset", default=None,
+                   help="restrict eval to one dataset (default: all of the "
+                        "task's eval datasets)")
+    p.add_argument("-test_split", "--test_split", default="test")
+    p.add_argument("-t", "--temperature", default=None, type=float)
+    p.add_argument("-top_p", "--top_p", default=None, type=float)
+    p.add_argument("-top_k", "--top_k", default=None, type=int)
+    p.add_argument("--max_steps", default=-1, type=int)
     p.add_argument("--all_linear", default=True, type=eval)
     p.add_argument("--pack", default=False, type=eval,
                    help="sequence packing of training rows (segment-masked "
@@ -106,6 +120,12 @@ def build_model(args, peft_config):
         n_layers = model.config.num_hidden_layers
         layers = (list(range(n_layers)) if args.layers == "all"
                   else [int(x) for x in str(args.layers).split(";")])
+        if "+" in args.position and not args.share_weights:
+            # untied f/l positions: separate interventions for the first-n
+            # and last-n token groups (reference loreft/train.py:304-305
+            # doubles the layer list; locations emit left-half then
+            # right-half in the same order -- data/reasoning.py)
+            layers = layers + layers
         reps = [{"layer": l, "component": "block_output",
                  "intervention": args.intervention_type,
                  "low_rank_dimension": args.rank} for l in layers]
@@ -147,13 +167,24 @@ def main():
     else:
         tokenizer = get_tokenizer(args.model, vocab_size=32000)
 
+    use_reft = args.intervention_type not in ("Nothing", "NoIntervention")
+    # interventions per example: one per layer, doubled for untied f+l
+    # positions (reference passes num_interventions=len(layers) after its
+    # layer-doubling, train.py:304-319)
+    n_model_layers = 2 if args.smoke else 32
+    n_layers = (n_model_layers if args.layers == "all"
+                else len(str(args.layers).split(";")))
+    if "+" in args.position and not args.share_weights:
+        n_layers *= 2
+    tok_kw = dict(position=args.position, share_weights=args.share_weights,
+                  num_interventions=n_layers if use_reft else 1)
     train_items = load_data_items(
-        task, tcfg["train_datasets"][0], args.data_dir, split="train",
-        max_n_example=args.max_n_train_example, seed=args.seed, smoke=args.smoke)
+        task, args.train_dataset or tcfg["train_datasets"][0], args.data_dir,
+        split="train", max_n_example=args.max_n_train_example,
+        seed=args.seed, smoke=args.smoke)
     train_data = tokenize_reasoning(task, train_items, tokenizer,
                                     max_length=args.max_length, split="train",
-                                    position=args.position)
-    use_reft = args.intervention_type not in ("Nothing", "NoIntervention")
+                                    **tok_kw)
     keep_cols = ("input_ids", "attention_mask", "labels") + (
         ("intervention_locations",) if use_reft else ())
     train_data = {k: v for k, v in train_data.items() if k in keep_cols}
@@ -187,7 +218,7 @@ def main():
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             weight_decay=args.weight_decay, warmup_ratio=args.warmup_ratio,
             lr_scheduler_type=args.schedule, logging_steps=args.logging_steps,
-            log_param_steps=0, seed=args.seed)
+            max_steps=args.max_steps, log_param_steps=0, seed=args.seed)
         if hp:
             override_config([ta, pc], hp)
         model = build_model(args, pc)
@@ -202,18 +233,21 @@ def main():
         out = out or out_dir
         results = {}
         all_gen = []
-        for ds in tcfg["eval_datasets"]:
-            items = load_data_items(task, ds, args.data_dir, split="test",
-                                    is_eval=True,
+        eval_sets = ([args.eval_dataset] if args.eval_dataset
+                     else tcfg["eval_datasets"])
+        for ds in eval_sets:
+            items = load_data_items(task, ds, args.data_dir,
+                                    split=args.test_split, is_eval=True,
                                     max_n_example=args.max_n_eval_example,
                                     seed=args.seed, smoke=args.smoke)
             eval_data = tokenize_reasoning(task, items, tokenizer,
                                            max_length=args.max_length,
-                                           split="test", position=args.position)
+                                           split="test", **tok_kw)
             gens, metrics = compute_reasoning_metrics(
                 task, ds, model, tokenizer, eval_data, items,
                 batch_size=args.eval_batch_size, greedy_decoding=greedy,
-                max_new_tokens=max_new)
+                max_new_tokens=max_new, temperature=args.temperature,
+                top_p=args.top_p, top_k=args.top_k)
             results.update(metrics)
             all_gen.extend(gens)
         if results:

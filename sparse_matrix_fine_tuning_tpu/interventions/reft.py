@@ -286,10 +286,16 @@ class ReftModel(nnx.Module):
                 continue
             locs = self._locs(intervention_locations, i)
             src = (sources or {}).get(i)
-            hooks[self._key(i)] = (
-                lambda iv, locs, src:
-                lambda x: apply_at_positions(x, locs, iv, source=src)
-            )(iv, locs, src)
+            fn = (lambda iv, locs, src:
+                  lambda x: apply_at_positions(x, locs, iv, source=src)
+                  )(iv, locs, src)
+            prev = hooks.get(self._key(i))
+            if prev is not None:
+                # several interventions on one site (untied f/l positions
+                # target the same layer twice -- share_weights=False):
+                # apply in registration order
+                fn = (lambda a, b: lambda x: b(a(x)))(prev, fn)
+            hooks[self._key(i)] = fn
         return hooks
 
     def collect_activations(self, input_ids, locations, attention_mask=None,

@@ -193,6 +193,32 @@ def test_component_addressed_hooks():
     np.testing.assert_allclose(a, b)
 
 
+def test_untied_interventions_compose_on_one_layer():
+    """share_weights=False: two interventions target the SAME layer (first-n
+    and last-n positions).  Both must fire -- round-2 _hooks overwrote the
+    dict entry, silently dropping the first."""
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    reps = [{"layer": 1, "component": "block_output",
+             "intervention": "ConsreftIntervention", "low_rank_dimension": 2},
+            {"layer": 1, "component": "block_output",
+             "intervention": "ConsreftIntervention", "low_rank_dimension": 2}]
+    rm = get_reft_model(model, ReftConfig(representations=reps),
+                        rngs=nnx.Rngs(1))
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, cfg.vocab_size)
+    # intervention 0 edits positions {0,1}; intervention 1 edits {6,7}
+    locs = np.array([[[0, 1], [6, 7]]] * 2, np.int32)
+    out_both = np.asarray(rm(ids, intervention_locations=locs))
+    # zeroing one intervention's positions (-1 pads are no-ops) must change
+    # the output if that intervention was actually applied
+    locs_first_only = np.array([[[0, 1], [-1, -1]]] * 2, np.int32)
+    locs_last_only = np.array([[[-1, -1], [6, 7]]] * 2, np.int32)
+    out_first = np.asarray(rm(ids, intervention_locations=locs_first_only))
+    out_last = np.asarray(rm(ids, intervention_locations=locs_last_only))
+    assert not np.allclose(out_both, out_first), "second intervention dropped"
+    assert not np.allclose(out_both, out_last), "first intervention dropped"
+
+
 def test_swap_forward_vanilla_interchange():
     """pyvene source->base: swapping a SOURCE example's activations into the
     base forward.  Identical source == no-op; different source changes the
