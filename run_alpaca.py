@@ -64,6 +64,27 @@ def parse_args():
     p.add_argument("--do_tune", default=False, type=eval)
     p.add_argument("--parallel_trials", default=1, type=int)
     p.add_argument("--n_trials", default=4, type=int)
+    p.add_argument("--mmlu_split", default="eval", choices=["eval", "test"],
+                   help="which MMLU split the callback scores (reference "
+                        "qlora mmlu_split)")
+    p.add_argument("--max_mmlu_samples", default=None, type=int)
+    p.add_argument("--max_eval_samples", default=None, type=int)
+    p.add_argument("--weight_decay", default=0.0, type=float)
+    p.add_argument("--warmup_ratio", default=0.03, type=float)
+    p.add_argument("--lr_scheduler_type", default="constant")
+    p.add_argument("--max_grad_norm", default=0.3, type=float,
+                   help="reference qlora default 0.3")
+    p.add_argument("--max_steps", default=-1, type=int)
+    p.add_argument("--save_steps", default=0, type=int)
+    p.add_argument("--save_total_limit", default=1, type=int)
+    p.add_argument("--resume", default=False, type=eval)
+    p.add_argument("--gradient_checkpointing", default=True, type=eval,
+                   help="remat decoder layers (reference qlora default)")
+    p.add_argument("--temperature", default=None, type=float)
+    p.add_argument("--top_p", default=None, type=float)
+    p.add_argument("--top_k", default=None, type=int)
+    p.add_argument("--num_beams", default=1, type=int)
+    p.add_argument("--do_sample", default=False, type=eval)
     p.add_argument("--smoke", default=False, type=eval)
     p.add_argument("--output_dir", default="results/alpaca")
     p.add_argument("--logging_steps", default=10, type=int)
@@ -87,6 +108,7 @@ def build_model(args, peft_config):
     if not args.smoke and os.path.isdir(args.model):
         from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_llama
         model = from_pretrained_llama(args.model, dtype="bfloat16",
+                                      remat=args.gradient_checkpointing,
                                       rngs=nnx.Rngs(args.seed))
     else:
         if not args.smoke:
@@ -130,6 +152,10 @@ def predict_generations(model, tokenizer, eval_items, args, out_dir, *,
     ids, mask = batch_data["input_ids"], batch_data["attention_mask"]
     gc = GenerationConfig(
         max_new_tokens=min(args.max_new_tokens, 16 if args.smoke else 10**9),
+        num_beams=args.num_beams, do_sample=args.do_sample,
+        temperature=args.temperature if args.temperature is not None else 1.0,
+        top_p=args.top_p if args.top_p is not None else 1.0,
+        top_k=args.top_k if args.top_k is not None else 0,
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id)
     bs, n = args.batch_size, len(ids)
@@ -219,10 +245,17 @@ def main():
 
     mmlu_eval = mmlu_dev = None
     if args.do_mmlu_eval:
-        mmlu_eval = load_mmlu_items(args.data_dir, "eval", smoke=args.smoke,
-                                    seed=args.seed)
+        mmlu_eval = load_mmlu_items(args.data_dir, args.mmlu_split,
+                                    smoke=args.smoke, seed=args.seed)
+        if args.max_mmlu_samples:
+            mmlu_eval = mmlu_eval[:args.max_mmlu_samples]
         mmlu_dev = load_mmlu_items(args.data_dir, "dev", smoke=args.smoke,
                                    seed=args.seed + 1, smoke_n=8)
+    if eval_items and args.max_eval_samples:
+        eval_items = eval_items[:args.max_eval_samples]
+        if eval_data is not None:
+            eval_data = {k: v[:args.max_eval_samples]
+                         for k, v in eval_data.items()}
 
     def lm_loss(model, batch, train):
         logits = model(batch["input_ids"], attention_mask=batch["attention_mask"],
@@ -241,9 +274,13 @@ def main():
         ta = TrainingArgs(
             output_dir=out_dir, learning_rate=args.lr,
             num_train_epochs=epochs if epochs is not None else args.epochs,
+            max_steps=args.max_steps,
             per_device_train_batch_size=args.batch_size,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
-            lr_scheduler_type="constant", warmup_ratio=0.03,
+            lr_scheduler_type=args.lr_scheduler_type,
+            warmup_ratio=args.warmup_ratio, weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm, save_steps=args.save_steps,
+            save_total_limit=args.save_total_limit,
             logging_steps=args.logging_steps, log_param_steps=0, seed=args.seed,
             group_by_length=args.group_by_length,
             metric_for_best_model="mmlu_eval_accuracy", greater_is_better=True)
@@ -300,7 +337,7 @@ def main():
     if args.profile:
         import jax
         jax.profiler.start_trace(os.path.join(out_dir, "profile"))
-    metrics = trainer.train()
+    metrics = trainer.train(resume=args.resume)
     if args.profile:
         import jax
         jax.profiler.stop_trace()

@@ -122,7 +122,10 @@ def from_pretrained_roberta(path: str, num_labels: int = 2, dtype=None, *, rngs=
     return model
 
 
-def from_pretrained_llama(path: str, dtype="bfloat16", *, rngs=None):
+def from_pretrained_llama(path: str, dtype="bfloat16", *, rngs=None,
+                          remat: bool = False, param_dtype=None):
+    """remat: rematerialise decoder layers in the backward (the reference
+    qlora flow defaults gradient_checkpointing=True, qlora_monarch.py:144)."""
     import json
     from flax import nnx
     from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
@@ -138,6 +141,7 @@ def from_pretrained_llama(path: str, dtype="bfloat16", *, rngs=None):
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         rope_theta=hf.get("rope_theta", 10000.0),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        remat=remat, param_dtype=param_dtype or dtype,
         dtype=dtype)
     model = LlamaForCausalLM(cfg, rngs=rngs or nnx.Rngs(0))
     load_llama(model, load_state_dict(path))
