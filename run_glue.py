@@ -42,6 +42,16 @@ def parse_args():
     p.add_argument("--resume", default=False, type=eval)
     p.add_argument("--profile", action="store_true")
     p.add_argument("--bf16_compute", default=False, type=eval)
+    p.add_argument("--wandb", default=True, type=eval,
+                   help="mirror metrics to wandb when available "
+                        "(metrics.jsonl is always written)")
+    p.add_argument("--group", default="", help="extra run-group component")
+    p.add_argument("--notes", default="", help="notes folded into the group")
+    p.add_argument("--project", default=None, help="wandb project override")
+    p.add_argument("--time", default=None,
+                   help="group timestamp override (joins an existing group)")
+    p.add_argument("--load_group", default=False, type=eval,
+                   help="rejoin the group in output_dir/full_group.txt")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) before backend init")
     args, unknown = p.parse_known_args()
@@ -252,8 +262,10 @@ def main():
     from sparse_matrix_fine_tuning_tpu.utils.logging import (
         RunLogger, get_run_group, persist_run_group)
     run_group = persist_run_group(
-        train_args.output_dir, get_run_group(task_name=task, do_tune=args.do_tune),
-        resume=args.resume)
+        train_args.output_dir,
+        get_run_group(task_name=task, do_tune=args.do_tune, group=args.group,
+                      cur_time=args.time, notes=args.notes or None),
+        resume=args.resume or args.load_group)
 
     def make_trainer(hp=None, epochs=None, logger=None):
         ta = dataclasses.replace(train_args)
@@ -311,7 +323,8 @@ def main():
     # metrics.jsonl (+wandb when available) with reference-style run grouping
     # and adapter-layer watching (reference train_utils.py:235-247, 521-549)
     logger = RunLogger(train_args.output_dir, group=run_group,
-                       name=f"{task}_final",
+                       name=f"{task}_final", project=args.project,
+                       use_wandb=args.wandb,
                        config={"task": task, "peft_config": peft_config,
                                "hp": hp or {}})
     trainer = make_trainer(hp, logger=logger)
