@@ -124,7 +124,10 @@ def main():
         learning_rate=args.lr, num_train_epochs=args.epochs,
         per_device_train_batch_size=args.batch_size,
         logging_steps=args.logging_steps, log_param_steps=0,
-        lr_scheduler_type="cosine")
+        lr_scheduler_type="cosine",
+        # news headlines vary widely in length: trim batches to bucketed
+        # maxima (TPU-native group_by_length, docs/BENCHMARKS.md)
+        group_by_length=True, length_bucket=32)
     from sparse_matrix_fine_tuning_tpu.utils.logging import (
         RunLogger, get_run_group, watch_layers)
     logger = RunLogger(ta.output_dir, group=get_run_group(task_name="agnews"),
