@@ -13,6 +13,7 @@ Run: timeout 2400 python -u scripts/bench_quant.py  [SKIP_7B=1 to skip #2]
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -90,30 +91,41 @@ param_stats(model, extra_paths=())
 
 import optax
 
+from sparse_matrix_fine_tuning_tpu.quant import QuantScales
+
 filt = trainable_filter(extra_paths=())
 tx = optax.adamw(5.4e-4)  # reference llama_mmlu best-HP lr
 opt = nnx.Optimizer(model, tx, wrt=filt)
 ids = jnp.asarray(np.random.default_rng(0).integers(2, cfg.vocab_size, (Bt, T)))
 
+# static/mutable split (TrainingArgs.state_split): frozen base + scales are
+# input-only, so the plan is args 4.29 + outputs 0.12 + temps 1.44 GB
+# instead of the 10.02 GB full-state round-trip
+static_f = nnx.Any(nnx.All(nnx.Param, nnx.Not(filt)), nnx.OfType(QuantScales))
+graphdef, static_state, rest = nnx.split((model, opt), static_f, ...)
 
-@nnx.jit(donate_argnums=(0, 1))
-def step(model, opt, ids):
+
+@partial(jax.jit, donate_argnums=(1,))
+def step(static_state, rest, ids):
+    model, opt = nnx.merge(graphdef, static_state, rest)
     def loss(mm, ids):
         return mm.loss(mm(ids), ids)
     val, grads = nnx.value_and_grad(loss, argnums=nnx.DiffState(0, filt))(model, ids)
     opt.update(model, grads)
-    return val
+    _, _, new_rest = nnx.split((model, opt), static_f, ...)
+    return val, new_rest
 
 
 t0 = time.time()
-v = float(np.asarray(step(model, opt, ids)))
+v, rest = step(static_state, rest, ids)
+v = float(np.asarray(v))
 print(f"compile + first step: {time.time()-t0:.1f}s loss={v:.3f}", flush=True)
 losses = [v]
 N = 5
 t0 = time.time()
 for _ in range(N):
-    v = float(np.asarray(step(model, opt, ids)))
-    losses.append(v)
+    v, rest = step(static_state, rest, ids)
+    losses.append(float(np.asarray(v)))
 dt = (time.time() - t0) / N
 print(f"int4 7B monarch step: {dt*1e3:.0f} ms/step "
       f"({Bt*T/dt:.0f} tokens/s) losses={['%.3f' % l for l in losses]}",

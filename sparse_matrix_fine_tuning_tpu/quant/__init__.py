@@ -30,6 +30,15 @@ from flax import nnx
 from sparse_matrix_fine_tuning_tpu.layers.monarch_linear import MonarchLinear
 
 
+class QuantScales(nnx.Variable):
+    """Dequantisation scales of a frozen quantized base matrix.
+
+    A dedicated Variable type so state filters can treat scales like the
+    frozen weights they belong to (e.g. the Trainer's static/mutable state
+    split keeps them input-only in the jitted step, and FSDP sharding can
+    address them)."""
+
+
 def quantize_int8(w):
     """(values int8 (out, in), scales f32 (out, 1))"""
     w = np.asarray(w, np.float32)
@@ -153,7 +162,7 @@ def quantize_frozen_base(model: nnx.Module, bits: int = 8,
                     continue
                 q, scales = quant4(w, g)
             child.dense.set_value(q)
-            child.dense_scales = nnx.Variable(scales)
+            child.dense_scales = QuantScales(scales)
             child.quant_bits = bits
             child.quant_group = group_size if bits == 8 else g
             n += 1

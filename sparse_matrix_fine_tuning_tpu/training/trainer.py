@@ -74,6 +74,14 @@ class TrainingArgs:
     # eligible MonarchLinear (costs one dense-sized cache pair per layer --
     # pass "off" for memory-tight single-chip 7B runs)
     merged_training: str = "auto"
+    # static/mutable state split: the frozen base (and quant scales) enter
+    # the jitted step as INPUT-ONLY args and are never returned, so the
+    # step's outputs are just loss + adapters + optimizer state + RNG
+    # counts (~MBs, not GBs).  On runtimes that honour buffer donation this
+    # is free; on ones that don't (this sandbox's tunnel) it removes the
+    # 2x-params round-trip that made single-chip 7B OOM (int4 7B plan:
+    # 10.02 GB -> 5.85 GB measured)
+    state_split: bool = True
     # TPU-native group_by_length (reference qlora_monarch.py:537-544 uses
     # HF's LengthGroupedSampler): sort rows by true length within shuffled
     # megabatches, then TRIM each batch's time axis to its bucketed max --
@@ -213,18 +221,14 @@ class Trainer:
         def inner(m, b):
             return loss_fn(m, b, True)
 
-        # donate model+optimizer state: without this the step holds input
-        # AND output copies of every parameter (fatal at 7B scale)
-        @nnx.jit(donate_argnums=(0, 1))
-        def train_step(model, optimizer, batch):
+        def train_step_raw(model, optimizer, batch):
             refresh(model)
             loss, grads = nnx.value_and_grad(
                 inner, argnums=nnx.DiffState(0, filt))(model, batch)
             optimizer.update(model, grads)
             return loss
 
-        @nnx.jit(donate_argnums=(0, 1))
-        def train_step_accum(model, optimizer, batch):
+        def train_step_accum_raw(model, optimizer, batch):
             # batch leaves: (G, micro_bs, ...); scan accumulates grads so the
             # merged operands (and any other step-invariant work) hoist out
             refresh(model)
@@ -245,9 +249,48 @@ class Trainer:
             optimizer.update(model, grads)
             return lacc / G
 
+        # donate model+optimizer state: without this the step holds input
+        # AND output copies of every parameter (fatal at 7B scale)
+        train_step = nnx.jit(donate_argnums=(0, 1))(train_step_raw)
+        train_step_accum = nnx.jit(donate_argnums=(0, 1))(train_step_accum_raw)
+
         @nnx.jit
         def eval_step(model, batch):
             return loss_fn(model, batch, False)
+
+        if a.state_split:
+            # frozen base + quant scales as input-only jit args (see
+            # TrainingArgs.state_split).  The wrappers keep the
+            # (model, optimizer, batch) signature: split before, update
+            # after, so self.model stays the source of truth.
+            from functools import partial
+
+            from sparse_matrix_fine_tuning_tpu.quant import QuantScales
+            static_f = nnx.Any(nnx.All(nnx.Param, nnx.Not(filt)),
+                               nnx.OfType(QuantScales))
+            self._static_filter = static_f
+            graphdef, _, _ = nnx.split((self.model, self.optimizer),
+                                       static_f, ...)
+
+            def make_split(body):
+                @partial(jax.jit, donate_argnums=(1,))
+                def split_jit(static, rest, batch):
+                    model, optimizer = nnx.merge(graphdef, static, rest)
+                    loss = body(model, optimizer, batch)
+                    _, _, new_rest = nnx.split((model, optimizer),
+                                               static_f, ...)
+                    return loss, new_rest
+
+                def wrapper(model, optimizer, batch):
+                    _, static, rest = nnx.split((model, optimizer),
+                                                static_f, ...)
+                    loss, new_rest = split_jit(static, rest, batch)
+                    nnx.update((model, optimizer), new_rest)
+                    return loss
+                return wrapper
+
+            train_step = make_split(train_step_raw)
+            train_step_accum = make_split(train_step_accum_raw)
 
         self._train_step = train_step
         self._train_step_accum = train_step_accum

@@ -122,6 +122,34 @@ def test_group_by_length_training_matches_ungrouped(tmp_path):
     assert abs(grouped - ungrouped) < 0.15
 
 
+def test_state_split_keeps_frozen_out_of_step_io(tmp_path):
+    """state_split: the jitted step's round-tripped state excludes frozen
+    base params and quant scales -- only adapters/opt-state/rng return
+    (the fix that took the int4 7B plan from 10.02 to 5.85 GB)."""
+    from sparse_matrix_fine_tuning_tpu.quant import QuantScales, quantize_frozen_base
+    trainer, data = _make(tmp_path, state_split=True)
+    quantize_frozen_base(trainer.model, bits=8)
+    trainer._build()  # rebuild with the scales present
+    static_f = trainer._static_filter
+    _, static, rest = nnx.split((trainer.model, trainer.optimizer),
+                                static_f, ...)
+    static_bytes = sum(v.size * v.itemsize for v in jax.tree.leaves(static))
+    rest_bytes = sum(v.size * v.itemsize for v in jax.tree.leaves(rest))
+    # on real models static >> rest (7B: 4.29 GB vs 0.12 GB); the tiny test
+    # model's classifier head + f32 Adam moments keep the ratio modest
+    assert static_bytes > rest_bytes, (static_bytes, rest_bytes)
+    assert any(isinstance(v, QuantScales)
+               for v in jax.tree.leaves(
+                   nnx.state(trainer.model, nnx.OfType(QuantScales)),
+                   is_leaf=lambda x: isinstance(x, nnx.Variable)))
+    # and training still works end-to-end with the quantized split state
+    batch, _ = next(trainer._batches(data, 16, shuffle=False))
+    trainer.model.train()
+    loss1 = float(trainer._train_step(trainer.model, trainer.optimizer, batch))
+    loss2 = float(trainer._train_step(trainer.model, trainer.optimizer, batch))
+    assert np.isfinite(loss1) and loss2 < loss1
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer, data = _make(tmp_path)
     trainer.train()
