@@ -55,10 +55,11 @@ def parse_args():
                    help="intervention layers: 'all' or semicolon ints, e.g. 3;9;18")
     p.add_argument("-rank", "--rank", default=4, type=int,
                    help="intervention low-rank dimension")
-    p.add_argument("-sw", "--share_weights", default=False, type=eval,
+    p.add_argument("-sw", "--share_weights", nargs="?", const=True,
+                   default=False, type=eval,
                    help="tie the first-n and last-n position interventions "
-                        "(reference loreft -sw; False doubles the "
-                        "intervention count for f+l positions)")
+                        "(bare -sw works like the reference's store_true; "
+                        "False doubles the intervention count for f+l)")
     p.add_argument("-train_dataset", "--train_dataset", default=None,
                    help="override the task's default train dataset")
     p.add_argument("-eval_dataset", "--eval_dataset", default=None,
@@ -170,8 +171,14 @@ def main():
     use_reft = args.intervention_type not in ("Nothing", "NoIntervention")
     # interventions per example: one per layer, doubled for untied f+l
     # positions (reference passes num_interventions=len(layers) after its
-    # layer-doubling, train.py:304-319)
-    n_model_layers = 2 if args.smoke else 32
+    # layer-doubling, train.py:304-319).  Layer count comes from the
+    # actual checkpoint config (NOT a hardcoded 32: a 13B has 40 layers
+    # and the tokenized locations must match build_model's reps)
+    if not args.smoke and os.path.isdir(args.model):
+        with open(os.path.join(args.model, "config.json")) as f:
+            n_model_layers = json.load(f)["num_hidden_layers"]
+    else:
+        n_model_layers = 2  # the smoke/random tiny model in build_model
     n_layers = (n_model_layers if args.layers == "all"
                 else len(str(args.layers).split(";")))
     if "+" in args.position and not args.share_weights:

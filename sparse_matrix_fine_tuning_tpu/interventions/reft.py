@@ -313,7 +313,12 @@ class ReftModel(nnx.Module):
                     collected[i] = gather_positions(x, locs)
                     return x
                 return fn
-            hooks[self._key(i)] = make(i, locs)
+            fn = make(i, locs)
+            prev = hooks.get(self._key(i))
+            if prev is not None:
+                # untied f+l: several interventions collect from one site
+                fn = (lambda a, b: lambda x: b(a(x)))(prev, fn)
+            hooks[self._key(i)] = fn
         self.model(input_ids, attention_mask=attention_mask,
                    layer_hooks=hooks, **kw)
         return collected

@@ -265,16 +265,24 @@ class Trainer:
             # after, so self.model stays the source of truth.
             from functools import partial
 
+            from sparse_matrix_fine_tuning_tpu.layers.monarch_linear import (
+                MergedCache)
             from sparse_matrix_fine_tuning_tpu.quant import QuantScales
+            # MergedCache is static too: refresh() overwrites it at the top
+            # of every step, so its input value is dead and returning it
+            # would put dense-sized buffers back into the step outputs
             static_f = nnx.Any(nnx.All(nnx.Param, nnx.Not(filt)),
-                               nnx.OfType(QuantScales))
+                               nnx.OfType(QuantScales),
+                               nnx.OfType(MergedCache))
             self._static_filter = static_f
-            graphdef, _, _ = nnx.split((self.model, self.optimizer),
-                                       static_f, ...)
 
             def make_split(body):
-                @partial(jax.jit, donate_argnums=(1,))
-                def split_jit(static, rest, batch):
+                # graphdef is a STATIC jit arg taken fresh at every call:
+                # train()/eval() mode flips (dropout determinism) live in
+                # the graphdef, so baking a build-time graphdef in would
+                # silently pin the step to the build-time mode
+                @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+                def split_jit(graphdef, static, rest, batch):
                     model, optimizer = nnx.merge(graphdef, static, rest)
                     loss = body(model, optimizer, batch)
                     _, _, new_rest = nnx.split((model, optimizer),
@@ -282,9 +290,9 @@ class Trainer:
                     return loss, new_rest
 
                 def wrapper(model, optimizer, batch):
-                    _, static, rest = nnx.split((model, optimizer),
-                                                static_f, ...)
-                    loss, new_rest = split_jit(static, rest, batch)
+                    graphdef, static, rest = nnx.split((model, optimizer),
+                                                       static_f, ...)
+                    loss, new_rest = split_jit(graphdef, static, rest, batch)
                     nnx.update((model, optimizer), new_rest)
                     return loss
                 return wrapper

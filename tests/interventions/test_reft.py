@@ -217,6 +217,10 @@ def test_untied_interventions_compose_on_one_layer():
     out_last = np.asarray(rm(ids, intervention_locations=locs_last_only))
     assert not np.allclose(out_both, out_first), "second intervention dropped"
     assert not np.allclose(out_both, out_last), "first intervention dropped"
+    # collect_activations must gather BOTH same-site interventions too
+    collected = rm.collect_activations(ids, locs)
+    assert set(collected.keys()) == {0, 1}
+    assert not np.allclose(np.asarray(collected[0]), np.asarray(collected[1]))
 
 
 def test_swap_forward_vanilla_interchange():

@@ -150,6 +150,34 @@ def test_state_split_keeps_frozen_out_of_step_io(tmp_path):
     assert np.isfinite(loss1) and loss2 < loss1
 
 
+def test_state_split_step_respects_train_mode_dropout(tmp_path):
+    """REGRESSION: the split step must see the CURRENT graphdef -- a
+    build-time graphdef pins dropout to the build-time (eval) mode, so
+    training silently ran without dropout.  Two train-mode steps from the
+    same state must produce different losses (dropout stochasticity)."""
+    cfg = RobertaConfig.tiny()  # hidden/attention dropout 0.1 defaults
+    assert cfg.hidden_dropout_prob > 0
+    data = _synthetic_task(cfg)
+
+    def one_loss(seed_stream):
+        model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+        init_monarch(model, PEFT, rngs=nnx.Rngs(1))
+        args = TrainingArgs(output_dir=str(tmp_path), learning_rate=0.0,
+                            num_train_epochs=1, per_device_train_batch_size=16,
+                            logging_steps=0, log_param_steps=0,
+                            state_split=True)
+        t = Trainer(model, args, train_data=data)
+        t.model.train()
+        batch, _ = next(t._batches(data, 16, shuffle=False))
+        # consume a few dropout keys so two calls see different masks
+        for _ in range(seed_stream):
+            t._train_step(t.model, t.optimizer, batch)
+        return float(t._train_step(t.model, t.optimizer, batch))
+
+    assert one_loss(0) != one_loss(1), \
+        "train-mode losses identical: dropout is OFF inside the split step"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer, data = _make(tmp_path)
     trainer.train()
