@@ -21,7 +21,11 @@ import numpy as np
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().float().numpy()
-    return np.asarray(t)
+    # explicit copy: .numpy() SHARES memory with the torch tensor and jax's
+    # CPU backend can alias numpy buffers zero-copy, so without this a live
+    # torch model's in-place optimizer updates would silently mutate the
+    # converted jax weights (observed in training-parity tests)
+    return np.array(t, copy=True)
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
