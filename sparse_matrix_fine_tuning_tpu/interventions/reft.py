@@ -212,6 +212,12 @@ class ReftConfig:
     representations: Sequence[dict] = ()
 
 
+def _chain(prev, fn):
+    """Compose two same-site hooks in registration order (untied f+l
+    positions register several interventions on one layer)."""
+    return lambda x: fn(prev(x))
+
+
 def gather_positions(x: Array, locations: Array) -> Array:
     """(b, t, d) gathered at (b, p) positions -> (b, p, d); -1 pads map to
     position 0 (pyvene gather_neurons, reference modeling_utils.py:230)."""
@@ -290,12 +296,7 @@ class ReftModel(nnx.Module):
                   lambda x: apply_at_positions(x, locs, iv, source=src)
                   )(iv, locs, src)
             prev = hooks.get(self._key(i))
-            if prev is not None:
-                # several interventions on one site (untied f/l positions
-                # target the same layer twice -- share_weights=False):
-                # apply in registration order
-                fn = (lambda a, b: lambda x: b(a(x)))(prev, fn)
-            hooks[self._key(i)] = fn
+            hooks[self._key(i)] = fn if prev is None else _chain(prev, fn)
         return hooks
 
     def collect_activations(self, input_ids, locations, attention_mask=None,
@@ -315,10 +316,7 @@ class ReftModel(nnx.Module):
                 return fn
             fn = make(i, locs)
             prev = hooks.get(self._key(i))
-            if prev is not None:
-                # untied f+l: several interventions collect from one site
-                fn = (lambda a, b: lambda x: b(a(x)))(prev, fn)
-            hooks[self._key(i)] = fn
+            hooks[self._key(i)] = fn if prev is None else _chain(prev, fn)
         self.model(input_ids, attention_mask=attention_mask,
                    layer_hooks=hooks, **kw)
         return collected
