@@ -134,6 +134,104 @@ def main():
     overhead_speedup = marg_xla / max(marg_merged, 1e-9)
     layer_speedup = t_xla / t_merged
 
+    # ---- blk_r sweep {4, 8, 16} at the 7B projection shape: the north-star
+    # pins blk_r=8 (BASELINE.md); 16 = the reference kernel-bench config
+    sweep = {4: {"marginal_xla_us": round(marg_xla * 1e6, 1),
+                 "marginal_merged_us": round(marg_merged * 1e6, 1),
+                 "overhead_speedup": round(overhead_speedup, 3)}}
+    for rr in (8, 16):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(rr), 2)
+        w1r = jax.random.normal(k1, (K, rr * K, n // K), dtype) * 0.02
+        w2r = jax.random.normal(k2, (K, m // K, rr * K), dtype) * 0.02
+        tx = slope_time(make_loop(macro_xla), (w1r, w2r, xs), iters=12) / G
+        tm = slope_time(make_loop(macro_merged), (w1r, w2r, xs), iters=12) / G
+        sweep[rr] = {
+            "marginal_xla_us": round((tx - t_dense) * 1e6, 1),
+            "marginal_merged_us": round((tm - t_dense) * 1e6, 1),
+            "overhead_speedup": round((tx - t_dense) / max(tm - t_dense, 1e-9), 3),
+        }
+
+    # ---- north-star op roofline at blk_r=8: standalone monarch fwd+bwd
+    # slope time vs the v5e HBM bound (the op is memory-bound at these
+    # shapes: weights+activations dominate, MXU utilisation is secondary)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(99), 2)
+    r8 = 8
+    w18 = jax.random.normal(k1, (K, r8 * K, n // K), dtype) * 0.02
+    w28 = jax.random.normal(k2, (K, m // K, r8 * K), dtype) * 0.02
+
+    @jax.jit
+    def op_loop(w1_, w2_, xs, nn):
+        x0 = xs[0]
+
+        def body(i, carry):
+            w1c, w2c, acc = carry
+            loss, (g1, g2, gx) = jax.value_and_grad(
+                lambda a, b, x_: sq(blockdiag_butterfly_multiply(x_, a, b)),
+                argnums=(0, 1, 2))(w1c, w2c, x0)
+            dep = loss + jnp.sum(gx.astype(jnp.float32)) * 1e-30
+            return (w1c + (g1 * 1e-30).astype(w1c.dtype),
+                    w2c + (g2 * 1e-30).astype(w2c.dtype), acc + dep)
+        return jax.lax.fori_loop(0, nn, body, (w1_, w2_, jnp.float32(0)))[2]
+
+    t_op8 = slope_time(op_loop, (w18, w28, xs), iters=12)
+    # fwd+bwd traffic: x read twice (fwd, bwd-dw), out1 saved+read, dout
+    # read twice, dx written, factors negligible -- ~ (4*B*n + 3*B*Kr
+    # + B*m) elements of 2 bytes
+    kq = K * r8  # total rank dim of the interleave
+    bytes_moved = 2 * (4 * B * n + 3 * B * kq + 2 * B * m)
+    hbm_peak = 819e9  # v5e HBM GB/s (public spec)
+    roofline_pct = (bytes_moved / t_op8) / hbm_peak * 100
+
+    # ---- recipe-level: full-model optimizer-step throughput (production
+    # Trainer path, merged-training auto) -- hidden-2048 8-layer Llama at
+    # bs 4 x ga 8 x seq 512 (docs/BENCHMARKS.md "Production-path trainer")
+    import time as _time
+
+    import numpy as onp
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+    from sparse_matrix_fine_tuning_tpu.peft import init_monarch
+    from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
+
+    BS, GA, T = 4, 8, 512
+    cfg = LlamaConfig(hidden_size=2048, num_hidden_layers=8,
+                      num_attention_heads=16, num_key_value_heads=16,
+                      intermediate_size=5504, vocab_size=32000,
+                      param_dtype="bfloat16", dtype="bfloat16", remat=True,
+                      max_position_embeddings=T)
+    rng = onp.random.default_rng(0)
+    ids = rng.integers(2, cfg.vocab_size, size=(BS * GA * 2, T)).astype(onp.int32)
+    data = {"input_ids": ids, "attention_mask": onp.ones_like(ids),
+            "labels": ids}
+
+    def lm_loss(model, batch, train):
+        logits = model(batch["input_ids"], attention_mask=batch["attention_mask"])
+        return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
+
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    init_monarch(model, {
+        "monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
+        "target_modules": ["q_proj", "v_proj", "k_proj", "o_proj",
+                           "gate_proj", "up_proj", "down_proj"]},
+        rngs=nnx.Rngs(1))
+    targs = TrainingArgs(output_dir="/tmp/bench_recipe", learning_rate=5e-4,
+                         max_steps=10**9, per_device_train_batch_size=BS,
+                         gradient_accumulation_steps=GA, logging_steps=0,
+                         log_param_steps=0, merged_training="auto")
+    tr = Trainer(model, targs, train_data=data, loss_fn=lm_loss)
+    tr.model.train()
+    batches = [b for b, _ in tr._batches(data, BS, shuffle=False, accum=GA)]
+    for _ in range(3):  # compile + tunnel first-execution finalization
+        float(tr._train_step_accum(tr.model, tr.optimizer, batches[0]))
+    times = []
+    for i in range(8):  # per-step sync: mixed-executable queues serialize
+        t0 = _time.time()
+        float(tr._train_step_accum(tr.model, tr.optimizer,
+                                   batches[i % len(batches)]))
+        times.append(_time.time() - t0)
+    step_ms = statistics.median(times) * 1e3
+    tokens_per_s = BS * GA * T / (step_ms / 1e3)
+
     print(json.dumps({
         "metric": "monarch_adapter_overhead_speedup_vs_xla_unfused",
         "value": round(overhead_speedup, 4),
@@ -146,6 +244,20 @@ def main():
                  % (layer_speedup, t_dense * 1e6, t_xla * 1e6, t_merged * 1e6,
                     marg_xla * 1e6, marg_merged * 1e6)),
         "vs_baseline": round(overhead_speedup / 1.2, 4),
+        "blk_r_sweep": sweep,
+        "north_star_blk_r8": {
+            "op_fwd_bwd_us": round(t_op8 * 1e6, 1),
+            "hbm_roofline_pct": round(roofline_pct, 1),
+            "note": ("standalone monarch op (fwd+grads) at 2664x4096->4096 "
+                     "blk_r=8, % of v5e 819 GB/s HBM bound (op is "
+                     "memory-bound at this shape)"),
+        },
+        "recipe_level": {
+            "model": "llama 2048h x 8L bf16 + monarch blk_r4 adapters",
+            "config": "bs4 x ga8 x seq512, merged_training=auto, remat",
+            "ms_per_opt_step": round(step_ms, 1),
+            "tokens_per_s": round(tokens_per_s),
+        },
     }))
 
 

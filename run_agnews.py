@@ -110,14 +110,9 @@ def main():
     total, trainable = param_stats(model, extra_paths=extra_paths)
 
     def compute_metrics(model, data):
-        import jax.numpy as jnp
-        model.eval()
-        preds = []
-        for s in range(0, len(data["input_ids"]), 64):
-            logits = model(jnp.asarray(data["input_ids"][s:s + 64]),
-                           jnp.asarray(data["attention_mask"][s:s + 64]))
-            preds.append(np.asarray(jnp.argmax(logits, -1)))
-        return {"accuracy": accuracy(np.concatenate(preds), data["labels"])}
+        from sparse_matrix_fine_tuning_tpu.evaluation import predict_classes
+        preds = predict_classes(model, data)
+        return {"accuracy": accuracy(preds, data["labels"])}
 
     ta = TrainingArgs(
         output_dir=os.path.join(args.output_dir, args.method),

@@ -32,7 +32,8 @@ def parse_args():
     p.add_argument("--lora", default=False, type=eval)
     p.add_argument("--boft", default=False, type=eval)
     p.add_argument("--do_tune", default=False, type=eval)
-    p.add_argument("--n_trials", default=8, type=int)
+    p.add_argument("--n_trials", default=25, type=int,
+                   help="HPO trials (reference train_utils.py:63 default)")
     p.add_argument("--parallel_trials", default=1, type=int,
                    help="concurrent trials per rung (Ray trial placement equiv.)")
     p.add_argument("--smoke", default=False, type=eval,
@@ -128,22 +129,13 @@ def build_model(data_args, peft_config, num_labels, smoke, use_monarch, use_lora
 
 
 def glue_metrics_fn(task):
-    import jax.numpy as jnp
+    from sparse_matrix_fine_tuning_tpu.evaluation import predict_classes
     from sparse_matrix_fine_tuning_tpu.utils.metrics import glue_compute
 
     def compute(model, data):
-        model.eval()
-        preds = []
-        bs = 64
-        n = len(data["input_ids"])
-        for s in range(0, n, bs):
-            logits = model(jnp.asarray(data["input_ids"][s:s + bs]),
-                           jnp.asarray(data["attention_mask"][s:s + bs]))
-            if logits.shape[-1] == 1:
-                preds.append(np.asarray(logits[:, 0]))
-            else:
-                preds.append(np.asarray(jnp.argmax(logits, -1)))
-        preds = np.concatenate(preds)
+        # one jitted (state, ids, mask) -> logits per batch shape
+        # (evaluation/predict.py; reference behavior = HF Trainer predict)
+        preds = predict_classes(model, data)
         return glue_compute(task, preds, data["labels"])
     return compute
 
@@ -167,19 +159,9 @@ def predict_tsv(model, data, task, out_dir, submit_task=None):
     """GLUE-server-format TSV export (reference run_glue.py:789-816):
     class indices map through the task label list; STS-B regression is
     formatted %3.3f; file named per the leaderboard convention."""
-    import jax.numpy as jnp
-    model.eval()
+    from sparse_matrix_fine_tuning_tpu.evaluation import predict_classes
     is_regression = task == "stsb"
-    preds = []
-    n = len(data["input_ids"])
-    for s in range(0, n, 64):
-        logits = model(jnp.asarray(data["input_ids"][s:s + 64]),
-                       jnp.asarray(data["attention_mask"][s:s + 64]))
-        if logits.shape[-1] == 1:
-            preds.append(np.asarray(logits[:, 0]))
-        else:
-            preds.append(np.asarray(jnp.argmax(logits, -1)))
-    preds = np.concatenate(preds)
+    preds = predict_classes(model, data)
     os.makedirs(out_dir, exist_ok=True)
     submit_task = submit_task or task
     label_list = None if is_regression else _glue_label_list(submit_task)
@@ -195,14 +177,66 @@ def predict_tsv(model, data, task, out_dir, submit_task=None):
     return path
 
 
+def load_hpo_budget(task):
+    """Per-task ASHA budget table (reference run_glue.py:637-646),
+    externalised to task_configs/hpo_budgets.json."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "task_configs", "hpo_budgets.json")
+    with open(path) as f:
+        table = json.load(f)
+    out = dict(table["default"])
+    out.update(table.get(task, {}))
+    return out
+
+
+def build_search_space(args, peft_config, train_args):
+    """Method-specific HPO spaces mirroring reference run_glue.py:595-636.
+
+    Returns (space, n_trials): monarch = quantised-lr + batch choice with
+    blk_r/nblocks pinned from peft_config (+NAS dims under
+    --tune_blk_config, +10 trials); BOFT = lr-only, 15 trials; full
+    fine-tuning = the reference's 3x2 lr/batch grid search.
+    """
+    from sparse_matrix_fine_tuning_tpu.training.hpo import (
+        choice, grid, quniform)
+
+    if args.boft:
+        return {"seed": train_args.seed,
+                "learning_rate": quniform(8e-5, 8e-4, 4e-5)}, 15
+    if args.monarch:
+        space = {
+            "seed": train_args.seed,
+            "learning_rate": quniform(1e-4, 6.6e-4, 2e-5),
+            "per_device_train_batch_size": choice([16, 32]),
+            "weight_decay": train_args.weight_decay,
+            "lr_scheduler_type": "cosine",
+            "blk_r": peft_config.get("blk_r", 4),
+            "nblocks": peft_config.get("nblocks", 4),
+        }
+        n_trials = args.n_trials
+        if args.tune_blk_config:
+            # block-config NAS (reference run_glue.py:609-616)
+            space["blk_r"] = choice([1, 2, 4, 8])
+            space["blk_sz"] = choice([64, 128, 512])
+            del space["nblocks"]  # blk_sz determines the block count
+            n_trials += 10
+        return space, n_trials
+    # vanilla fine-tuning (or LoRA): the reference's grid search
+    return {
+        "learning_rate": grid([1e-5, 2e-5, 3e-5]),
+        "per_device_train_batch_size": grid([16, 32]),
+        "weight_decay": choice([0.1]),
+        "lr_scheduler_type": grid(["cosine"]),
+    }, 1
+
+
 def main():
     args, overrides = parse_args()
     from sparse_matrix_fine_tuning_tpu.data.glue import (
         TASK_NUM_LABELS, load_glue_raw, tokenize_glue)
     from sparse_matrix_fine_tuning_tpu.data.tokenizer import get_tokenizer
     from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
-    from sparse_matrix_fine_tuning_tpu.training.hpo import (
-        choice, hyperparameter_search, loguniform, uniform)
+    from sparse_matrix_fine_tuning_tpu.training.hpo import hyperparameter_search
     from sparse_matrix_fine_tuning_tpu.utils.config import (
         load_best_hp, load_json, override_config, save_best_hp)
     from sparse_matrix_fine_tuning_tpu.utils.metrics import GLUE_TARGET_METRIC
@@ -285,14 +319,12 @@ def main():
     target = f"eval_{GLUE_TARGET_METRIC[task]}"
 
     if args.do_tune:
-        space = {
-            "learning_rate": loguniform(1e-5, 1e-3),
-            "weight_decay": loguniform(1e-4, 1e-1),
-            "lr_scheduler_type": choice(["linear", "cosine"]),
-        }
-        if args.tune_blk_config:
-            space["blk_r"] = choice([2, 4, 8, 16])
-            space["nblocks"] = choice([2, 4, 8])
+        space, n_trials = build_search_space(args, peft_config, train_args)
+        budget = load_hpo_budget(task)
+        # budget ceiling: reference ASHA max_t in eval-iteration units,
+        # capped by the recipe's epochs; grace = min rung budget
+        max_ep = min(float(budget["max_t"]), float(train_args.num_train_epochs))
+        min_ep = min(float(budget["grace"]), max_ep)
 
         def run_trial(hp, epochs, trial_id):
             # per-trial dir + resume: a survivor's next rung EXTENDS its
@@ -306,8 +338,8 @@ def main():
 
         os.makedirs(train_args.output_dir, exist_ok=True)
         result = hyperparameter_search(
-            run_trial, space, n_trials=args.n_trials, target_metric=target,
-            mode="max", max_epochs=float(train_args.num_train_epochs),
+            run_trial, space, n_trials=n_trials, target_metric=target,
+            mode="max", min_epochs=min_ep, max_epochs=max_ep,
             parallel_trials=args.parallel_trials,
             state_path=os.path.join(train_args.output_dir, "hpo_state.jsonl")
             if args.resume else None)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import monarch_kernel
-from sparse_matrix_fine_tuning_tpu.kernels.more_linear import more_linear
+from sparse_matrix_fine_tuning_tpu.kernels.experimental.more_linear import more_linear
 from sparse_matrix_fine_tuning_tpu.ops.monarch import blockdiag_butterfly_multiply
 
 print("backend:", jax.default_backend())

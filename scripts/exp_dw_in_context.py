@@ -13,7 +13,7 @@ merged operands hoisted out of the scan):
               (w1bd, w2hat) -- hoisted per optimizer step like wm -- then
               _extract_dw gathers the block gradients.  No batched dims,
               no relayouts; reads x and dout twice each (~88 MB).
-  pallas   -- kernels.more_linear._more_dw_call: one Pallas kernel reads
+  pallas   -- kernels.experimental.more_linear._more_dw_call: one Pallas kernel reads
               x and dout ONCE per tile and accumulates both dense grads
               in VMEM (~44 MB, the floor).
 
@@ -33,7 +33,7 @@ from sparse_matrix_fine_tuning_tpu.kernels.merged import build_merged_operands
 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
     expand_monarch_factors,
 )
-from sparse_matrix_fine_tuning_tpu.kernels.more_linear import (
+from sparse_matrix_fine_tuning_tpu.kernels.experimental.more_linear import (
     _extract_dw,
     _more_dw_call,
 )

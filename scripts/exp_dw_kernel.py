@@ -17,7 +17,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import expand_monarch_factors
-from sparse_matrix_fine_tuning_tpu.kernels.more_linear import _more_dw_call
+from sparse_matrix_fine_tuning_tpu.kernels.experimental.more_linear import _more_dw_call
 from sparse_matrix_fine_tuning_tpu.utils.benchlib import time_fn
 
 

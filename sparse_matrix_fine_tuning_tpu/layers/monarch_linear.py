@@ -15,9 +15,12 @@ TPU-first:
     ``unmerge_adapter``) rather than ``train()``-flip side effects
     (reference monarch_linear.py:255-276), which also avoids the
     reference's re-merge-after-reload pitfall (qlora_monarch.py:828-833).
-  * The monarch matmul dispatches to the fused Pallas kernel on TPU and
-    the jnp/XLA path elsewhere (reference's use_triton switch,
-    monarch_linear.py:117).
+  * The monarch matmul runs the XLA path by default -- measured
+    near-roofline; the standalone Pallas kernel (``impl="pallas"``) is
+    OPT-IN only and never auto-selected (docs/BENCHMARKS.md; the
+    reference's use_triton switch, monarch_linear.py:117).  The production
+    wins live in merge-during-training (``enable_merged_training``) and
+    the fused base+adapter add (``monarch_add``), both auto-selected.
 
 Init parity (monarch_linear.py:199-224): per-block Kaiming-uniform with
 bound 1/sqrt(block_fan_in) on blkdiag1; blkdiag2 is ZERO-initialised in
@@ -66,6 +69,15 @@ DEFAULT_PEFT_CONFIG: dict[str, Any] = {
     "lora_style_init": False,
     "use_mult_factor": False,
     "dropout": 0.0,
+    # Compat: reproduce the reference's projection orientation bit-for-bit.
+    # The reference's set_weights_from_dense_init projects ``w.T``
+    # (reference monarch_linear.py:243), making the monarch path approximate
+    # ``x @ w`` instead of the layer's ``x @ w^T`` (benign only for square
+    # symmetric weights).  Default False = corrected orientation; set True to
+    # reproduce reference-tuned projection/svd_init recipes exactly
+    # (square layers only -- the reference path itself shape-errors on
+    # rectangular weights, its shape assert is commented out).
+    "reference_orientation": False,
 }
 
 
@@ -173,6 +185,7 @@ class MonarchLinear(nnx.Module):
 
         self.as_adapter = cfg["adapter"] if as_adapter is None else as_adapter
         self.svd_init = cfg["svd_init"]
+        self.reference_orientation = cfg.get("reference_orientation", False)
         self.lora_style_init = cfg["lora_style_init"]
         self.use_mult_factor = cfg["use_mult_factor"]
         use_scaler = cfg["scaler"] or self.use_mult_factor
@@ -249,6 +262,8 @@ class MonarchLinear(nnx.Module):
         the residual to keep as the frozen dense part (reference
         monarch_linear.py:235-253, orientation corrected -- see module
         docstring).  Returns (bd1, bd2, dense_residual_or_None)."""
+        if self.reference_orientation:
+            return self._projected_values_reference(w, rank)
         pad_out = self.nblocks * self.out_blksz - self.out_features
         pad_in = self.nblocks * self.in_blksz - self.in_features
         w_p = jnp.pad(w, ((0, pad_out), (0, pad_in)))
@@ -260,6 +275,40 @@ class MonarchLinear(nnx.Module):
         if self.svd_init:
             approx = monarch_dense_equivalent(bd1, bd2)
             approx = approx[: self.out_features, : self.in_features]
+            dense_w = (w - approx).astype(self.param_dtype)
+        return bd1, bd2, dense_w
+
+    def _projected_values_reference(self, w: Array, rank: int):
+        """Compat path: the reference's exact projection semantics
+        (reference monarch_linear.py:243-253) -- project ``w.T``, no
+        padding, and with svd_init the residual ``w - monarch(I, bd1, bd2)``
+        in the same mixed orientation.  Square layers only: the monarch path
+        then maps a (.., out)-dim input to (.., in), which only typechecks
+        when in_features == out_features (as in every reference projection
+        recipe; the reference errors identically otherwise)."""
+        from sparse_matrix_fine_tuning_tpu.ops.monarch import (
+            blockdiag_butterfly_multiply,
+        )
+        if self.in_features != self.out_features:
+            raise ValueError(
+                "reference_orientation projection requires a square layer "
+                f"(got {self.in_features} -> {self.out_features}); the "
+                "reference's own w.T projection shape-errors on rectangular "
+                "weights")
+        if (self.nblocks * self.in_blksz != self.in_features
+                or self.nblocks * self.out_blksz != self.out_features):
+            raise ValueError(
+                "reference_orientation projection requires block sizes that "
+                "divide the features exactly (the reference does not pad)")
+        bd1, bd2 = blockdiag_butterfly_project_einsum_rank(
+            w.T, self.nblocks, self.nblocks, rank)
+        bd1 = bd1.astype(self.param_dtype)
+        bd2 = bd2.astype(self.param_dtype)
+        dense_w = None
+        if self.svd_init:
+            eye = jnp.eye(self.in_features, dtype=w.dtype)
+            approx = blockdiag_butterfly_multiply(eye, bd1.astype(w.dtype),
+                                                  bd2.astype(w.dtype))
             dense_w = (w - approx).astype(self.param_dtype)
         return bd1, bd2, dense_w
 

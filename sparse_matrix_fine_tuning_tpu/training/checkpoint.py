@@ -37,6 +37,11 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def _is_prng_key(x) -> bool:
+    return (hasattr(x, "dtype")
+            and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key))
+
+
 def _save_tree(path: str, tree) -> None:
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     arrays = {}
@@ -44,6 +49,8 @@ def _save_tree(path: str, tree) -> None:
         if hasattr(x, "shape") or np.isscalar(x):
             key = _path_str(p)
             assert key not in arrays, f"duplicate checkpoint key {key!r}"
+            if _is_prng_key(x):  # typed PRNG keys -> raw uint32 key data
+                x = jax.random.key_data(x)
             arrays[key] = np.asarray(x)
     np.savez(path, **arrays)
 
@@ -57,7 +64,11 @@ def _load_tree(path: str, template, strict: bool = False):
         key = f"leaf_{i}" if legacy else _path_str(p)
         if key in data.files:
             arr = data[key]
-            if hasattr(tmpl, "shape"):
+            if _is_prng_key(tmpl):
+                arr = jax.random.wrap_key_data(
+                    jax.numpy.asarray(arr),
+                    impl=jax.random.key_impl(tmpl))
+            elif hasattr(tmpl, "shape"):
                 assert arr.shape == tuple(tmpl.shape), (
                     f"checkpoint entry {key!r} shape {arr.shape} != "
                     f"live state {tuple(tmpl.shape)}")
@@ -72,14 +83,23 @@ def _load_tree(path: str, template, strict: bool = False):
 
 def save(output_dir: str, step: int, trainable, opt_state, *,
          tag: Optional[str] = None, save_total_limit: int = 0,
-         log_history: Optional[list] = None, final: bool = False) -> str:
+         log_history: Optional[list] = None, final: bool = False,
+         extra_meta: Optional[dict] = None, rng_state=None) -> str:
     name = f"checkpoint-{tag}" if tag else f"checkpoint-{step}"
     path = os.path.join(output_dir, name)
     os.makedirs(path, exist_ok=True)
     _save_tree(os.path.join(path, "trainable.npz"), trainable)
     _save_tree(os.path.join(path, "opt_state.npz"), opt_state)
+    if rng_state is not None:
+        # dropout/rng streams (keys + counts): restoring them makes a
+        # resumed run draw the same masks an uninterrupted run would
+        # (reference behavior: HF Trainer saves rng_state.pth)
+        _save_tree(os.path.join(path, "rng_state.npz"), rng_state)
+    meta = {"step": step}
+    if extra_meta:
+        meta.update(extra_meta)
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"step": step}, f)
+        json.dump(meta, f)
     if log_history is not None:
         with open(os.path.join(output_dir, "log_history.json"), "w") as f:
             json.dump(log_history, f, indent=1)
@@ -103,9 +123,11 @@ def _prune(output_dir: str, limit: int):
         shutil.rmtree(os.path.join(output_dir, d), ignore_errors=True)
 
 
-def load(path: str, trainable_template, opt_state_template):
-    """Restore (trainable, opt_state, meta) using the live states as
-    structural templates."""
+def load(path: str, trainable_template, opt_state_template,
+         rng_state_template=None):
+    """Restore (trainable, opt_state, meta[, rng_state]) using the live
+    states as structural templates.  rng_state is returned (possibly just
+    the template) only when a template is given."""
     trainable = _load_tree(os.path.join(path, "trainable.npz"),
                            trainable_template, strict=True)
     opt_path = os.path.join(path, "opt_state.npz")
@@ -116,7 +138,13 @@ def load(path: str, trainable_template, opt_state_template):
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):
         meta = json.load(open(meta_path))
-    return trainable, opt_state, meta
+    if rng_state_template is None:
+        return trainable, opt_state, meta
+    rng_path = os.path.join(path, "rng_state.npz")
+    rng_state = rng_state_template
+    if os.path.exists(rng_path):
+        rng_state = _load_tree(rng_path, rng_state_template)
+    return trainable, opt_state, meta, rng_state
 
 
 def get_last_checkpoint(output_dir: str, *, even_if_completed: bool = False):

@@ -28,23 +28,67 @@ def uniform(low: float, high: float):
     return ("uniform", low, high)
 
 
+def quniform(low: float, high: float, q: float):
+    """Uniform quantised to multiples of q (Ray tune.quniform; the
+    reference's monarch/boft lr spaces, run_glue.py:598,619)."""
+    return ("quniform", low, high, q)
+
+
 def choice(options):
     return ("choice", list(options))
+
+
+def grid(options):
+    """Grid-search dimension (Ray tune.grid_search; the reference's full
+    fine-tuning space, run_glue.py:630-635).  All grid dimensions expand to
+    their cartesian product regardless of n_trials."""
+    return ("grid", list(options))
 
 
 def _sample(space: dict, rng: np.random.Generator) -> dict:
     hp = {}
     for k, spec in space.items():
+        if not (isinstance(spec, tuple) and spec and isinstance(spec[0], str)):
+            hp[k] = spec  # pinned constant (reference pins seed/wd/blk_r...)
+            continue
         kind = spec[0]
         if kind == "loguniform":
             hp[k] = float(np.exp(rng.uniform(np.log(spec[1]), np.log(spec[2]))))
         elif kind == "uniform":
             hp[k] = float(rng.uniform(spec[1], spec[2]))
+        elif kind == "quniform":
+            v = rng.uniform(spec[1], spec[2])
+            hp[k] = float(np.clip(round(v / spec[3]) * spec[3], spec[1], spec[2]))
         elif kind == "choice":
             hp[k] = spec[1][int(rng.integers(len(spec[1])))]
+        elif kind == "grid":
+            raise ValueError("grid dims are expanded, not sampled")
         else:
             raise ValueError(f"unknown spec {spec}")
     return hp
+
+
+def _build_trials(space: dict, n_trials: int, rng: np.random.Generator):
+    """Trial list: cartesian product over grid dims x n_trials samples of the
+    rest (pure grid space => exactly the product, like Ray's grid_search)."""
+    import itertools
+
+    grid_keys = [k for k, s in space.items()
+                 if isinstance(s, tuple) and s and s[0] == "grid"]
+    rest = {k: s for k, s in space.items() if k not in grid_keys}
+    if not grid_keys:
+        return [{"hp": _sample(space, rng), "id": i} for i in range(n_trials)]
+    combos = list(itertools.product(*[space[k][1] for k in grid_keys]))
+    n_samples = 1 if all(
+        not (isinstance(s, tuple) and s and isinstance(s[0], str))
+        for s in rest.values()) else max(1, n_trials)
+    trials = []
+    for _ in range(n_samples):
+        for combo in combos:
+            hp = _sample(rest, rng)
+            hp.update(dict(zip(grid_keys, combo)))
+            trials.append({"hp": hp, "id": len(trials)})
+    return trials
 
 
 def hyperparameter_search(
@@ -83,7 +127,7 @@ def hyperparameter_search(
     import os
 
     rng = np.random.default_rng(seed)
-    trials = [{"hp": _sample(search_space, rng), "id": i} for i in range(n_trials)]
+    trials = _build_trials(search_space, n_trials, rng)
     worst = -math.inf if mode == "max" else math.inf
     sign = 1 if mode == "max" else -1
     budget = min_epochs

@@ -339,9 +339,21 @@ class Trainer:
                     and v.ndim >= 2 and v.shape[1] == T else v)
                 for k, v in batch.items()}
 
-    def _batches(self, data, batch_size, shuffle=True, seed=0, accum=1):
+    def steps_per_epoch(self) -> int:
+        n = self._n_examples(self.train_data)
+        per_step = self.args.per_device_train_batch_size
+        return math.ceil(n / per_step / max(self.args.gradient_accumulation_steps, 1))
+
+    def _batches(self, data, batch_size, shuffle=True, seed=0, accum=1,
+                 skip=0):
         """Yield (batch, n_valid).  accum>1 yields macro batches with leaves
-        reshaped to (accum, batch_size, ...) for the in-jit scan."""
+        reshaped to (accum, batch_size, ...) for the in-jit scan.
+
+        ``skip``: fast-forward past the first ``skip`` batches WITHOUT
+        materialising them (mid-epoch resume, reference behavior = HF
+        Trainer's skipped-batch dataloader replay): the shuffled order is a
+        pure function of ``seed``, so a resumed run sees the identical
+        remaining batch sequence an uninterrupted run would."""
         n = self._n_examples(data)
         idx = np.arange(n)
         if shuffle:
@@ -351,7 +363,7 @@ class Trainer:
                  and "attention_mask" in data)
         if group:
             idx = self._length_grouped_order(data, idx, macro)
-        for start in range(0, n, macro):
+        for start in range(skip * macro, n, macro):
             sel = idx[start:start + macro]
             batch = {k: v[sel] for k, v in data.items()}
             if group:
@@ -387,11 +399,19 @@ class Trainer:
         running = []
         done = False
         self.model.train()
-        for epoch in range(epochs):
+        # mid-epoch resume fidelity: self.step (restored from the checkpoint)
+        # determines the epoch and in-epoch batch cursor; the first resumed
+        # epoch fast-forwards the deterministic (seed + epoch)-shuffled
+        # stream so the batch sequence matches an uninterrupted run
+        spe = max(self.steps_per_epoch(), 1)
+        start_epoch = min(self.step // spe, max(epochs - 1, 0))
+        skip = self.step - start_epoch * spe
+        for epoch in range(start_epoch, epochs):
             if done:
                 break
             for batch, _ in self._batches(self.train_data, bs, shuffle=True,
-                                          seed=a.seed + epoch, accum=G):
+                                          seed=a.seed + epoch, accum=G,
+                                          skip=skip if epoch == start_epoch else 0):
                 loss = step_fn(self.model, self.optimizer, batch)
                 running.append(loss)
                 self.step += 1
@@ -481,17 +501,27 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, tag: Optional[str] = None, final: bool = False) -> str:
+        # epoch / in-epoch cursor / data-order seed: lets a resumed run (and
+        # a human reading meta.json) verify the replay position the step
+        # count implies (mid-epoch resume fidelity)
+        spe = max(self.steps_per_epoch(), 1)
         return ckpt_lib.save(
             self.args.output_dir, self.step, self.trainable,
             nnx.state(self.optimizer),
             tag=tag, save_total_limit=self.args.save_total_limit,
-            log_history=self.log_history, final=final)
+            log_history=self.log_history, final=final,
+            extra_meta={"epoch": self.step // spe,
+                        "batch_in_epoch": self.step % spe,
+                        "data_seed": self.args.seed},
+            rng_state=nnx.state(self.model, nnx.RngState))
 
     def load_checkpoint(self, path: str):
-        trainable, opt_state, meta = ckpt_lib.load(
-            path, self.trainable, nnx.state(self.optimizer))
+        trainable, opt_state, meta, rng_state = ckpt_lib.load(
+            path, self.trainable, nnx.state(self.optimizer),
+            nnx.state(self.model, nnx.RngState))
         nnx.update(self.model, trainable)
         nnx.update(self.optimizer, opt_state)
+        nnx.update(self.model, rng_state)
         if meta.get("step"):
             self.step = meta["step"]
 

@@ -23,3 +23,38 @@ import jax  # noqa: E402
 # backend; this re-resolves platforms so tests run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow tiers: `pytest -m "not slow"` is the quick gate (<~3 min);
+# `make test` runs everything.  Patterns below cover every test measured
+# >= ~10 s in the full-suite duration profile (harness smokes, multi-epoch
+# trainers, virtual-mesh runs, generation/packing, torch-parity model runs).
+_SLOW_PATTERNS = (
+    "tests/harness/",
+    "tests/test_graft_entry.py",
+    "tests/training/test_trainer.py",
+    "tests/models/test_packing.py",
+    "tests/models/test_generate.py",
+    "tests/models/test_hf_parity.py",
+    "tests/models/test_training_parity.py",
+    "tests/kernels/test_merged.py",
+    "test_tp_training_matches_replicated",
+    "test_reft_model_end_to_end_trains",
+    "test_reft_generation_with_prompt_interventions",
+    "test_quantized_model_trains",
+    "test_quantized_layer_int4_odd_infeatures",
+    "test_butterfly_fft",
+    "test_butterfly_ifft",
+    "test_boft_surgery_and_training",
+    "test_rotation_preserves_norm",
+    "test_reasoning_harness_smoke",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if any(pat in item.nodeid for pat in _SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sparse_matrix_fine_tuning_tpu.kernels.more_linear import (
+from sparse_matrix_fine_tuning_tpu.kernels.experimental.more_linear import (
     more_linear,
     more_linear_supported,
 )

@@ -350,3 +350,43 @@ def test_merged_training_on_mesh(tmp_path):
     metrics = trainer.train()
     assert np.isfinite(metrics["eval_loss"])
     assert metrics["eval_loss"] < first["eval_loss"]
+
+
+def test_mid_epoch_resume_sees_identical_batch_sequence(tmp_path):
+    """Interrupted-and-resumed training must produce bit-identical params to
+    an uninterrupted run: the resume fast-forwards the deterministic
+    per-epoch shuffle to the in-epoch cursor instead of replaying the epoch
+    from its start (VERDICT r2 #8; reference = HF Trainer skipped-batch
+    dataloader replay).  spe=4 here, so stopping at step 6 is mid-epoch-2."""
+    d_int = os.path.join(str(tmp_path), "interrupted")
+    d_unint = os.path.join(str(tmp_path), "uninterrupted")
+    # constant lr: a decaying schedule's horizon differs between a 6-step
+    # and an 8-step run, which would mask the data-order comparison
+    kw = dict(num_train_epochs=2, lr_scheduler_type="constant",
+              warmup_ratio=0.0)
+
+    # interrupted: 6 of 8 steps, checkpoint, then resume to 8
+    t1, _ = _make(d_int, max_steps=6, **kw)
+    assert t1.steps_per_epoch() == 4
+    t1.train()
+    assert t1.step == 6
+    # the checkpoint meta records the replay position + data-order seed
+    import json as _json
+    meta = _json.load(open(os.path.join(d_int, "checkpoint-6", "meta.json")))
+    assert meta["epoch"] == 1 and meta["batch_in_epoch"] == 2
+    assert meta["data_seed"] == t1.args.seed
+    t2, _ = _make(d_int, max_steps=8, **kw)
+    t2.train(resume=True)
+    assert t2.step == 8
+
+    # uninterrupted: straight 8 steps, same seeds
+    t3, _ = _make(d_unint, max_steps=8, **kw)
+    t3.train()
+    assert t3.step == 8
+
+    resumed = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, t2.trainable))[0]
+    straight = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, t3.trainable))[0]
+    for (pa, a), (_, b) in zip(resumed, straight):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
