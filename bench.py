@@ -154,33 +154,28 @@ def main():
     # ---- north-star op roofline at blk_r=8: standalone monarch fwd+bwd
     # slope time vs the v5e HBM bound (the op is memory-bound at these
     # shapes: weights+activations dominate, MXU utilisation is secondary)
+    from sparse_matrix_fine_tuning_tpu.utils.benchlib import time_grad_steps
+
     k1, k2 = jax.random.split(jax.random.PRNGKey(99), 2)
     r8 = 8
     w18 = jax.random.normal(k1, (K, r8 * K, n // K), dtype) * 0.02
     w28 = jax.random.normal(k2, (K, m // K, r8 * K), dtype) * 0.02
 
-    @jax.jit
-    def op_loop(w1_, w2_, xs, nn):
-        x0 = xs[0]
+    def op_loss(ws, x):
+        return sq(blockdiag_butterfly_multiply(x, ws[0], ws[1]))
 
-        def body(i, carry):
-            w1c, w2c, acc = carry
-            loss, (g1, g2, gx) = jax.value_and_grad(
-                lambda a, b, x_: sq(blockdiag_butterfly_multiply(x_, a, b)),
-                argnums=(0, 1, 2))(w1c, w2c, x0)
-            dep = loss + jnp.sum(gx.astype(jnp.float32)) * 1e-30
-            return (w1c + (g1 * 1e-30).astype(w1c.dtype),
-                    w2c + (g2 * 1e-30).astype(w2c.dtype), acc + dep)
-        return jax.lax.fori_loop(0, nn, body, (w1_, w2_, jnp.float32(0)))[2]
-
-    t_op8 = slope_time(op_loop, (w18, w28, xs), iters=12)
-    # fwd+bwd traffic: x read twice (fwd, bwd-dw), out1 saved+read, dout
-    # read twice, dx written, factors negligible -- ~ (4*B*n + 3*B*Kr
-    # + B*m) elements of 2 bytes
-    kq = K * r8  # total rank dim of the interleave
-    bytes_moved = 2 * (4 * B * n + 3 * B * kq + 2 * B * m)
-    hbm_peak = 819e9  # v5e HBM GB/s (public spec)
-    roofline_pct = (bytes_moved / t_op8) / hbm_peak * 100
+    t_op8 = time_grad_steps(op_loss, ((w18, w28), xs[0]),
+                            argnums=(0, 1), iters=24, chain_argnum=0)
+    # Minimal-traffic floor for fwd + factor grads (the PEFT training case:
+    # dx flows through the fused surrounding layer, factors are the only
+    # HBM-resident grads): x read for fwd + re-read for dw1 (2 passes of
+    # B*n bf16), the (B, K*q) interleave intermediate written+read once,
+    # factor tensors negligible.  The out cotangent of the scalar loss is
+    # fused, never round-tripping HBM.
+    kq_total = r8 * K * K  # out1 features: K blocks x q = r8*K each
+    floor_bytes = 2 * (2 * B * n + 2 * B * kq_total)
+    hbm_peak = 819e9  # v5e HBM bytes/s (public spec)
+    roofline_pct = (floor_bytes / t_op8) / hbm_peak * 100
 
     # ---- recipe-level: full-model optimizer-step throughput (production
     # Trainer path, merged-training auto) -- hidden-2048 8-layer Llama at
@@ -248,9 +243,12 @@ def main():
         "north_star_blk_r8": {
             "op_fwd_bwd_us": round(t_op8 * 1e6, 1),
             "hbm_roofline_pct": round(roofline_pct, 1),
-            "note": ("standalone monarch op (fwd+grads) at 2664x4096->4096 "
-                     "blk_r=8, % of v5e 819 GB/s HBM bound (op is "
-                     "memory-bound at this shape)"),
+            "note": ("standalone monarch op (fwd + factor grads) at "
+                     "2664x4096->4096 blk_r=8; %% of the v5e 819 GB/s HBM "
+                     "bound against a minimal-traffic floor of 2 passes of "
+                     "x + 1 round-trip of the (B, %d) interleave = %.1f MB "
+                     "(op is memory-bound at this shape; MXU utilisation "
+                     "is secondary)" % (kq_total, floor_bytes / 1e6)),
         },
         "recipe_level": {
             "model": "llama 2048h x 8L bf16 + monarch blk_r4 adapters",

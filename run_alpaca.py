@@ -69,6 +69,9 @@ def parse_args():
                         "qlora mmlu_split)")
     p.add_argument("--max_mmlu_samples", default=None, type=int)
     p.add_argument("--max_eval_samples", default=None, type=int)
+    p.add_argument("--optim", default="adamw", choices=["adamw", "adamw8bit"],
+                   help="adamw8bit = int8 optimizer moments, embeddings "
+                        "fp32 (reference bitsandbytes Adam8bit + override)")
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--warmup_ratio", default=0.03, type=float)
     p.add_argument("--lr_scheduler_type", default="constant")
@@ -277,7 +280,7 @@ def main():
             max_steps=args.max_steps,
             per_device_train_batch_size=args.batch_size,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
-            lr_scheduler_type=args.lr_scheduler_type,
+            lr_scheduler_type=args.lr_scheduler_type, optim=args.optim,
             warmup_ratio=args.warmup_ratio, weight_decay=args.weight_decay,
             max_grad_norm=args.max_grad_norm, save_steps=args.save_steps,
             save_total_limit=args.save_total_limit,

@@ -1,21 +1,25 @@
 from sparse_matrix_fine_tuning_tpu.interventions.reft import (
     ConsreftIntervention,
     LoreftIntervention,
+    LowRankRotatedSpaceIntervention,
     MoReIntervention,
     NoIntervention,
     NoreftIntervention,
     ReftConfig,
     ReftModel,
+    RotatedSpaceIntervention,
     get_reft_model,
 )
 
 __all__ = [
     "ConsreftIntervention",
     "LoreftIntervention",
+    "LowRankRotatedSpaceIntervention",
     "MoReIntervention",
     "NoIntervention",
     "NoreftIntervention",
     "ReftConfig",
     "ReftModel",
+    "RotatedSpaceIntervention",
     "get_reft_model",
 ]

@@ -187,6 +187,91 @@ class CollectIntervention(nnx.Module):
         return h
 
 
+def _subspace_mask(dim: int, subspaces, subspace_partition, dtype) -> Array:
+    """(dim,) 0/1 mask of rotated coordinates to swap.
+
+    subspaces: None (swap everything -- pyvene's default interchange_dim),
+    a sequence of coordinate indices, or (with subspace_partition) a
+    sequence of partition ids whose index groups are unioned
+    (reference pyvene models/interventions.py subspace handling)."""
+    if subspaces is None:
+        return jnp.ones((dim,), dtype)
+    if subspace_partition is not None:
+        idx = [i for s in subspaces for i in subspace_partition[s]]
+    else:
+        idx = list(subspaces)
+    return jnp.zeros((dim,), dtype).at[jnp.asarray(idx)].set(1)
+
+
+class RotatedSpaceIntervention(nnx.Module):
+    """Interchange in a FULL rotated space (DAS; reference pyvene
+    models/interventions.py:252-278): rotate base and source into R's
+    basis, swap the selected coordinates, rotate back.
+
+    R stays EXACTLY orthogonal throughout training via a Cayley transform
+    of a free skew-symmetric parameter -- the TPU-native equivalent of
+    torch's ``parametrizations.orthogonal`` (which the reference applies
+    to its RotateLayer): a pure function of the trainable state instead of
+    a stateful re-parametrization hook.
+    """
+
+    def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
+                 subspace_partition=None, param_dtype=jnp.float32,
+                 rngs: nnx.Rngs):
+        self.skew = AdapterParam(jax.random.normal(
+            rngs.params(), (embed_dim, embed_dim), param_dtype) * 0.01)
+        self.subspace_partition = subspace_partition
+
+    def _rotation(self, dtype) -> Array:
+        a = self.skew[...].astype(jnp.float32)
+        skew = (a - a.T) / 2
+        eye = jnp.eye(a.shape[0], dtype=jnp.float32)
+        return jnp.linalg.solve(eye + skew, eye - skew).astype(dtype)
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        R = self._rotation(h.dtype)
+        rb = h @ R
+        rs = source.astype(h.dtype) @ R
+        mask = _subspace_mask(h.shape[-1], subspaces,
+                              self.subspace_partition, h.dtype)
+        return (rb + (rs - rb) * mask) @ R.T
+
+
+class LowRankRotatedSpaceIntervention(nnx.Module):
+    """DAS with a low-rank rotated subspace (reference pyvene
+    models/interventions.py:396-448): project onto r semi-orthogonal
+    directions, swap the selected ones, and add the difference back.
+    Semi-orthogonality is maintained exactly via differentiable QR of a
+    free (d, r) parameter."""
+
+    def __init__(self, embed_dim: int, low_rank_dimension: int, *,
+                 subspace_partition=None, param_dtype=jnp.float32,
+                 rngs: nnx.Rngs):
+        self.free = AdapterParam(_ortho_init(
+            rngs.params(), (embed_dim, low_rank_dimension), param_dtype))
+        self.low_rank_dimension = low_rank_dimension
+        self.subspace_partition = subspace_partition
+
+    def _rotation(self, dtype) -> Array:
+        q, r = jnp.linalg.qr(self.free[...].astype(jnp.float32))
+        # fix the QR sign ambiguity so the map is continuous in the params
+        q = q * jnp.sign(jnp.diagonal(r))[None, :]
+        return q.astype(dtype)
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        R = self._rotation(h.dtype)  # (d, r)
+        diff = (source.astype(h.dtype) - h) @ R  # (b, p, r)
+        mask = _subspace_mask(self.low_rank_dimension, subspaces,
+                              self.subspace_partition, h.dtype)
+        return h + (diff * mask) @ R.T
+
+
 INTERVENTION_TYPES = {
     "LoreftIntervention": LoreftIntervention,
     "NoreftIntervention": NoreftIntervention,
@@ -198,11 +283,14 @@ INTERVENTION_TYPES = {
     "AdditionIntervention": AdditionIntervention,
     "SubtractionIntervention": SubtractionIntervention,
     "CollectIntervention": CollectIntervention,
+    "RotatedSpaceIntervention": RotatedSpaceIntervention,
+    "LowRankRotatedSpaceIntervention": LowRankRotatedSpaceIntervention,
 }
 
 # interventions whose edit is a function of a SOURCE example's activations
 SOURCE_BASED = (VanillaIntervention, AdditionIntervention,
-                SubtractionIntervention)
+                SubtractionIntervention, RotatedSpaceIntervention,
+                LowRankRotatedSpaceIntervention)
 
 
 @dataclasses.dataclass

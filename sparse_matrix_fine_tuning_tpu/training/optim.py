@@ -75,8 +75,15 @@ def build_optimizer(
     adam_eps: float = 1e-8,
     max_grad_norm: Optional[float] = 1.0,
     gradient_accumulation_steps: int = 1,
+    optim: str = "adamw",
 ):
-    """Build the optax transform + the label pytree for a trainable state."""
+    """Build the optax transform + the label pytree for a trainable state.
+
+    optim: "adamw" (f32 moments) or "adamw8bit" -- blockwise int8 moments
+    with fp32 kept for embedding paths (training/adam8bit.py; reference
+    bitsandbytes Adam8bit + GlobalOptimManager override,
+    train_utils.py:360-372).
+    """
     sched = build_schedule(learning_rate, total_steps, warmup_ratio, lr_scheduler_type)
     if large_lr:
         big_lr_sched = build_schedule(new_lr, total_steps, warmup_ratio, lr_scheduler_type)
@@ -85,8 +92,17 @@ def build_optimizer(
         big_lr_sched = sched
         big_wd = weight_decay
 
-    def adamw(s, wd):
-        return optax.adamw(s, b1=adam_b1, b2=adam_b2, eps=adam_eps, weight_decay=wd)
+    if optim == "adamw8bit":
+        from sparse_matrix_fine_tuning_tpu.training.adam8bit import adamw8bit
+
+        def adamw(s, wd):
+            return adamw8bit(s, b1=adam_b1, b2=adam_b2, eps=adam_eps,
+                             weight_decay=wd)
+    elif optim == "adamw":
+        def adamw(s, wd):
+            return optax.adamw(s, b1=adam_b1, b2=adam_b2, eps=adam_eps, weight_decay=wd)
+    else:
+        raise ValueError(f"unknown optim {optim!r} (adamw | adamw8bit)")
 
     transforms = {
         "decay": adamw(sched, weight_decay),

@@ -68,6 +68,9 @@ class TrainingArgs:
     large_lr: bool = False
     new_lr: float = 5e-3
     use_scaler: bool = False
+    # "adamw" | "adamw8bit" (int8 moments, embeddings kept fp32 --
+    # reference bitsandbytes Adam8bit + GlobalOptimManager override)
+    optim: str = "adamw"
     log_param_steps: int = 900
     bf16: bool = False
     # merge-during-training (kernels/merged.py): "auto" enables it on every
@@ -192,6 +195,7 @@ class Trainer:
             use_scaler=a.use_scaler,
             max_grad_norm=a.max_grad_norm,
             gradient_accumulation_steps=1,
+            optim=a.optim,
         )
         self.optimizer = nnx.Optimizer(self.model, self.tx, wrt=self.filt)
 

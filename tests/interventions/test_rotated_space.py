@@ -1,0 +1,126 @@
+"""Rotated-space (DAS) interventions with subspace partitions
+(reference pyvene models/interventions.py:252-278, 396-448; VERDICT r2
+"pyvene intervention taxonomy" partial)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from sparse_matrix_fine_tuning_tpu.interventions.reft import (
+    LowRankRotatedSpaceIntervention,
+    ReftConfig,
+    ReftModel,
+    RotatedSpaceIntervention,
+)
+from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+
+D = 16
+
+
+def test_full_rotation_is_orthogonal_and_full_swap_returns_source():
+    iv = RotatedSpaceIntervention(D, rngs=nnx.Rngs(0))
+    R = np.asarray(iv._rotation(jnp.float32))
+    np.testing.assert_allclose(R @ R.T, np.eye(D), atol=1e-5)
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal((2, 3, D)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((2, 3, D)), jnp.float32)
+    # subspaces=None swaps every rotated coordinate => output == source
+    np.testing.assert_allclose(np.asarray(iv(h, s)), np.asarray(s),
+                               rtol=1e-5, atol=1e-5)
+    # no source => identity
+    np.testing.assert_array_equal(np.asarray(iv(h)), np.asarray(h))
+
+
+def test_full_rotation_partial_subspace_swap():
+    """Swapping only partition 0 changes exactly that rotated subspace:
+    the result's rotated coords equal source's on the swapped dims and
+    base's elsewhere."""
+    part = [[0, 1, 2, 3], [4, 5, 6, 7], list(range(8, D))]
+    iv = RotatedSpaceIntervention(D, subspace_partition=part, rngs=nnx.Rngs(1))
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.standard_normal((2, 3, D)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((2, 3, D)), jnp.float32)
+    out = iv(h, s, subspaces=[0])
+    R = iv._rotation(jnp.float32)
+    rb, rs, ro = h @ R, s @ R, out @ R
+    np.testing.assert_allclose(np.asarray(ro[..., :4]),
+                               np.asarray(rs[..., :4]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ro[..., 4:]),
+                               np.asarray(rb[..., 4:]), atol=1e-4)
+
+
+def test_low_rank_rotation_semi_orthogonal_and_subspace_swap():
+    r = 6
+    part = [[0, 1], [2, 3, 4, 5]]
+    iv = LowRankRotatedSpaceIntervention(D, r, subspace_partition=part,
+                                         rngs=nnx.Rngs(2))
+    Q = np.asarray(iv._rotation(jnp.float32))
+    np.testing.assert_allclose(Q.T @ Q, np.eye(r), atol=1e-5)
+
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.standard_normal((2, 3, D)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((2, 3, D)), jnp.float32)
+    out = iv(h, s, subspaces=[1])
+    # projected coords: swapped dims take source's, others keep base's;
+    # the orthogonal complement of span(Q) is untouched
+    pb, ps, po = h @ Q, s @ Q, out @ Q
+    np.testing.assert_allclose(np.asarray(po[..., 2:]),
+                               np.asarray(ps[..., 2:]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(po[..., :2]),
+                               np.asarray(pb[..., :2]), atol=1e-4)
+    comp = np.asarray(out - (out @ Q) @ Q.T)
+    base_comp = np.asarray(h - (h @ Q) @ Q.T)
+    np.testing.assert_allclose(comp, base_comp, atol=1e-4)
+
+
+def test_low_rank_das_trains_and_stays_semi_orthogonal():
+    """A DAS objective (align intervened output with a target direction)
+    decreases under training while QR keeps the rotation exactly
+    semi-orthogonal -- the property torch gets from
+    parametrizations.orthogonal."""
+    r = 4
+    iv = LowRankRotatedSpaceIntervention(D, r, rngs=nnx.Rngs(3))
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.standard_normal((8, 2, D)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((8, 2, D)), jnp.float32)
+    target = jnp.asarray(rng.standard_normal((8, 2, D)), jnp.float32)
+
+    opt = nnx.Optimizer(iv, optax.adam(1e-2), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(iv, opt):
+        def loss_fn(m):
+            return jnp.mean((m(h, s) - target) ** 2)
+        val, grads = nnx.value_and_grad(loss_fn)(iv)
+        opt.update(iv, grads)
+        return val
+
+    losses = [float(step(iv, opt)) for _ in range(20)]
+    assert losses[-1] < losses[0]
+    Q = np.asarray(iv._rotation(jnp.float32))
+    np.testing.assert_allclose(Q.T @ Q, np.eye(r), atol=1e-5)
+
+
+def test_rotated_space_through_reft_swap_forward():
+    """Source->base interchange through the ReftModel engine with a
+    RotatedSpace intervention at a block output."""
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    reft = ReftModel(model, ReftConfig(representations=[
+        {"layer": 1, "intervention": "RotatedSpaceIntervention"},
+    ]), rngs=nnx.Rngs(1))
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 8)), jnp.int32)
+    src = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 8)), jnp.int32)
+    locs = jnp.asarray(np.tile(np.array([[0, 1]]), (2, 1))[:, None, :])
+
+    out_plain = reft.model(base)
+    out_swap = reft.swap_forward(base, src, base_locations=locs,
+                                 source_locations=locs)
+    assert out_swap.shape == out_plain.shape
+    # the interchange actually changed the computation
+    assert float(jnp.abs(out_swap - out_plain).max()) > 1e-6

@@ -1,0 +1,107 @@
+"""8-bit-state AdamW (training/adam8bit.py): trajectory tracks f32 adamw,
+moments are stored int8, and embedding paths keep fp32 moments
+(reference bitsandbytes Adam8bit + GlobalOptimManager embedding override,
+train_utils.py:360-372; VERDICT r2 missing #5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sparse_matrix_fine_tuning_tpu.training.adam8bit import (
+    ScaleByAdam8bitState,
+    adamw8bit,
+    scale_by_adam8bit,
+)
+
+
+def _quadratic_params(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "embed_tokens": {"w": jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)},
+        "layer": {"kernel": jnp.asarray(rng.standard_normal((8, 520)), jnp.float32)},
+    }
+
+
+def test_trajectory_tracks_fp32_adamw():
+    target = jax.tree.map(lambda x: jnp.zeros_like(x), _quadratic_params())
+
+    def run(tx, steps=30):
+        params = _quadratic_params()
+        state = tx.init(params)
+
+        @jax.jit
+        def step(params, state):
+            grads = jax.tree.map(lambda p, t: 2 * (p - t), params, target)
+            updates, state = tx.update(grads, state, params)
+            return optax.apply_updates(params, updates), state
+
+        for _ in range(steps):
+            params, state = step(params, state)
+        return params
+
+    p8 = run(adamw8bit(1e-2, weight_decay=0.01))
+    p32 = run(optax.adamw(1e-2, weight_decay=0.01))
+    loss8 = loss32 = 0.0
+    for a, b in zip(jax.tree.leaves(p8), jax.tree.leaves(p32)):
+        # 8-bit moments introduce bounded drift only (no blowup)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.1)
+        loss8 += float(jnp.sum(a ** 2))
+        loss32 += float(jnp.sum(b ** 2))
+    # and the OPTIMIZATION quality matches: both descended the quadratic
+    # (target 0) to the same ballpark from a starting loss ~ n_params
+    n = sum(x.size for x in jax.tree.leaves(p32))
+    assert loss32 < 0.75 * n  # ~30 adam steps of ~lr each => real descent
+    assert loss8 < max(1.15 * loss32, loss32 + 0.01 * n)
+
+
+def test_moments_are_int8_except_embeddings():
+    params = _quadratic_params()
+    tx = scale_by_adam8bit()
+    state = tx.init(params)
+    assert isinstance(state, ScaleByAdam8bitState)
+    emb = [v for k, v in state.moments.items() if "embed" in k]
+    dense = [v for k, v in state.moments.items() if "embed" not in k]
+    assert emb and dense
+    for rec in emb:  # fp32 override
+        assert set(rec) == {"m", "v"} and rec["m"].dtype == jnp.float32
+    for rec in dense:
+        assert set(rec) == {"mq", "ms", "vq", "vs"}
+        assert rec["mq"].dtype == jnp.uint8 and rec["vq"].dtype == jnp.uint8
+        # blockwise scales: one f32 per 256-block
+        assert rec["ms"].dtype == jnp.float32
+
+    # non-multiple-of-256 leaves round-trip through padding correctly
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state2 = tx.update(grads, state)
+    for u, p in zip(jax.tree.leaves(updates), jax.tree.leaves(params)):
+        assert u.shape == p.shape
+        assert bool(jnp.all(jnp.isfinite(u)))
+
+
+def test_trainer_integration_loss_decreases(tmp_path):
+    from flax import nnx
+
+    from sparse_matrix_fine_tuning_tpu.models import (
+        RobertaConfig, RobertaForSequenceClassification)
+    from sparse_matrix_fine_tuning_tpu.peft import init_monarch
+    from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
+
+    cfg = RobertaConfig.tiny()
+    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    init_monarch(model, {"monarch": True, "nblocks": 4, "blk_r": 4,
+                         "adapter": True,
+                         "target_modules": ["query", "value"]},
+                 rngs=nnx.Rngs(1))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, cfg.vocab_size, size=(32, 10))
+    data = {"input_ids": ids,
+            "attention_mask": np.ones_like(ids),
+            "labels": (ids[:, 0] < cfg.vocab_size // 2).astype(np.int32)}
+    args = TrainingArgs(output_dir=str(tmp_path), learning_rate=5e-3,
+                        num_train_epochs=3, per_device_train_batch_size=16,
+                        logging_steps=0, log_param_steps=0, optim="adamw8bit")
+    tr = Trainer(model, args, train_data=data, eval_data=data)
+    first = tr.evaluate()["eval_loss"]
+    final = tr.train()["eval_loss"]
+    assert final < first
