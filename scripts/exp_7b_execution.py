@@ -32,9 +32,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 BT, T = 1, 256  # bs x seq of the round-2 3.3B int4 measurement
 
 
-def run_one(layers: int, hidden: int, inter: int) -> int:
+def run_one(layers: int, hidden: int, inter: int,
+            quant_host: bool = False) -> int:
     """Child process: one config, 4 training steps.  Exit 0 = executed,
-    42 = ResourceExhausted, other = real error."""
+    42 = ResourceExhausted, other = real error.
+
+    quant_host: initialise + int4-quantize the base ON THE HOST (CPU
+    backend) and ship only the packed weights to the chip -- the device
+    never holds the transient bf16 base.  Tests the hypothesis that the 7B
+    failure is the INIT-TIME bf16 footprint (13 GB) poisoning the arena,
+    not the training step's own (~5 GB) footprint.
+    """
     from functools import partial
 
     import jax
@@ -55,13 +63,26 @@ def run_one(layers: int, hidden: int, inter: int) -> int:
                       param_dtype="bfloat16", dtype="bfloat16", remat=True,
                       max_position_embeddings=T)
     t0 = time.time()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
-    init_monarch(model, {
-        "monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
-        "target_modules": ["q_proj", "v_proj", "k_proj", "o_proj",
-                           "gate_proj", "up_proj", "down_proj"]},
-        rngs=nnx.Rngs(1))
-    nq = quantize_frozen_base(model, bits=4)
+
+    def build():
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        init_monarch(model, {
+            "monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
+            "target_modules": ["q_proj", "v_proj", "k_proj", "o_proj",
+                               "gate_proj", "up_proj", "down_proj"]},
+            rngs=nnx.Rngs(1))
+        return model, quantize_frozen_base(model, bits=4)
+
+    if quant_host:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            model, nq = build()
+        tpu = jax.devices()[0]
+        state = jax.device_put(nnx.state(model), tpu)
+        nnx.update(model, state)
+        print(f"host-quantized; packed state shipped to {tpu}", flush=True)
+    else:
+        model, nq = build()
     total, _ = param_stats(model, extra_paths=(), verbose=False)
     print(f"[{layers}L x {hidden}h/{inter}i] ~{total/1e9:.2f}B params, "
           f"{nq} int4 matrices, setup {time.time()-t0:.0f}s", flush=True)
@@ -99,6 +120,7 @@ def run_one(layers: int, hidden: int, inter: int) -> int:
         ms = statistics.median(times[1:]) * 1e3
         print(json.dumps({
             "layers": layers, "hidden": hidden, "inter": inter,
+            "quant_host": quant_host,
             "params_b": round(total / 1e9, 2), "executed": True,
             "ms_per_step": round(ms, 1),
             "tokens_per_s": round(BT * T / (ms / 1e3), 1),
@@ -111,6 +133,7 @@ def run_one(layers: int, hidden: int, inter: int) -> int:
         oom = "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in name
         print(json.dumps({
             "layers": layers, "hidden": hidden, "inter": inter,
+            "quant_host": quant_host,
             "params_b": round(total / 1e9, 2), "executed": False,
             "error": name, "oom": oom,
             "detail": str(e).split("\n")[0][:300],
@@ -171,5 +194,6 @@ if __name__ == "__main__":
     if os.environ.get("LAYERS"):
         sys.exit(run_one(int(os.environ["LAYERS"]),
                          int(os.environ["HIDDEN"]),
-                         int(os.environ["INTER"])))
+                         int(os.environ["INTER"]),
+                         quant_host=bool(os.environ.get("QUANT_HOST"))))
     drive()
