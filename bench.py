@@ -164,8 +164,13 @@ def main():
     def op_loss(ws, x):
         return sq(blockdiag_butterfly_multiply(x, ws[0], ws[1]))
 
-    t_op8 = time_grad_steps(op_loss, ((w18, w28), xs[0]),
-                            argnums=(0, 1), iters=24, chain_argnum=0)
+    # The op alone is ~100 us/iter while each dispatch costs ~24 ms through
+    # the tunnel: a single-shot slope at small N is noise (one run measured
+    # a negative slope).  Median of interleaved rounds at larger N.
+    t_op8 = statistics.median(
+        time_grad_steps(op_loss, ((w18, w28), xs[0]),
+                        argnums=(0, 1), iters=64, chain_argnum=0)
+        for _ in range(3))
     # Minimal-traffic floor for fwd + factor grads (the PEFT training case:
     # dx flows through the fused surrounding layer, factors are the only
     # HBM-resident grads): x read for fwd + re-read for dw1 (2 passes of

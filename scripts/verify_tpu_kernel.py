@@ -55,3 +55,77 @@ for name, fn in (("pallas", vg_p), ("xla", vg_x)):
         v, g = fn(x, w1, w2)
     jax.block_until_ready(g)
     print(f"{name} fwd+bwd: {(time.perf_counter()-t0)/100*1e6:.1f} us/iter")
+
+# ---- fused int4 dequant-matmul (kernels/quant_matmul.py): Mosaic legality
+# (interpret mode accepts relayouts Mosaic rejects -- this section is the
+# real-chip gate), parity vs the dequantize-then-dot oracle, and slope
+# timing vs the XLA int4 path and the bf16 dense dot at a decode shape.
+import numpy as np
+
+from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import (
+    int4_matmul, int4_matmul_supported)
+from sparse_matrix_fine_tuning_tpu.quant import dequantize_int4, quantize_int4
+from sparse_matrix_fine_tuning_tpu.utils.benchlib import time_fn
+
+OUT, IN, G, DB = 5632, 2048, 64, 4
+rng = np.random.default_rng(0)
+wq = rng.normal(size=(OUT, IN)).astype(np.float32) * 0.02
+packed_t, scales = quantize_int4(wq, G)
+packed_t, scales = jnp.asarray(packed_t), jnp.asarray(scales)
+xq = jnp.asarray(rng.normal(size=(DB, IN)), jnp.bfloat16)
+print("int4 kernel supported:", int4_matmul_supported(xq.shape, packed_t.shape, G))
+wd16 = dequantize_int4(packed_t, scales, G, jnp.bfloat16)
+y_ref = jax.jit(lambda x, w: x @ w.T)(xq, wd16)
+y_ker = jax.jit(lambda x: int4_matmul(x, packed_t, scales, G))(xq)
+print(f"int4 fwd max|kernel-oracle| = "
+      f"{float(jnp.abs(f32(y_ker) - f32(y_ref)).max()):.5f} "
+      f"(out scale {float(jnp.abs(f32(y_ref)).max()):.3f})")
+dx_k = jax.jit(jax.grad(lambda x: jnp.sum(f32(
+    int4_matmul(x, packed_t, scales, G)) ** 2)))(xq)
+dx_r = jax.jit(jax.grad(lambda x: jnp.sum(f32(x @ wd16.T) ** 2)))(xq)
+print(f"int4 dx  max|kernel-oracle| = "
+      f"{float(jnp.abs(f32(dx_k) - f32(dx_r)).max()):.4f} "
+      f"(scale {float(jnp.abs(f32(dx_r)).max()):.3f})")
+
+import statistics
+
+
+def xla_int4(x, p, s):
+    lo = (p & 0xF).astype(jnp.int8) - 8
+    hi = ((p >> 4) & 0xF).astype(jnp.int8) - 8
+    h, ns2 = IN // 2, scales.shape[0] // 2
+
+    def half(xh, qt, st):
+        sb = jnp.broadcast_to(st[:, None, :], (ns2, G, OUT)).reshape(h, OUT)
+        wd = (qt.astype(jnp.float32) * sb).astype(jnp.bfloat16)
+        return jax.lax.dot_general(xh, wd, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    return (half(x[:, :h], lo, s[:ns2]) + half(x[:, h:], hi, s[ns2:])
+            ).astype(x.dtype)
+
+
+from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import (
+    int8_matmul, int8_matmul_supported)
+from sparse_matrix_fine_tuning_tpu.quant import dequantize_int8, quantize_int8
+
+q8_t, s8 = map(jnp.asarray, quantize_int8(wq))
+w8d = dequantize_int8(q8_t, s8, jnp.bfloat16)
+print("int8 kernel supported:", int8_matmul_supported(xq.shape, q8_t.shape))
+y8k = jax.jit(lambda x: int8_matmul(x, q8_t, s8))(xq)
+y8r = jax.jit(lambda x, w: x @ w.T)(xq, w8d)
+print(f"int8 fwd max|kernel-oracle| = "
+      f"{float(jnp.abs(f32(y8k) - f32(y8r)).max()):.5f} "
+      f"(out scale {float(jnp.abs(f32(y8r)).max()):.3f})")
+
+for name, fn, args in (
+    ("bf16 dense ", lambda x, w: (x @ w.T), (xq, wd16)),
+    ("int4 xla   ", xla_int4, (xq, packed_t, scales)),
+    ("int4 pallas", lambda x, p, s: int4_matmul(x, p, s, G),
+     (xq, packed_t, scales)),
+    ("int8 pallas", lambda x, q, s: int8_matmul(x, q, s), (xq, q8_t, s8)),
+):
+    # 10-40 us ops behind a ~24 ms (+-1 ms jitter) dispatch: the slope
+    # needs >= 512 in-loop iterations for sub-us precision
+    t = statistics.median(time_fn(fn, args, iters=512, chain_argnum=0)
+                          for _ in range(3))
+    print(f"{name} decode dot ({OUT}x{IN} b{DB}): {t*1e6:7.1f} us")

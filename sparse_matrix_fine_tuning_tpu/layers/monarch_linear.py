@@ -352,38 +352,57 @@ class MonarchLinear(nnx.Module):
         qbits = getattr(self, "quant_bits", 0)
         dims = lambda a: (((a.ndim - 1,), (1,)), ((), ()))
         if qbits == 4:
-            # split-dot: y = x_lo @ W_lo^T + x_hi @ W_hi^T over the
-            # packed-halves layout (quant/).  Each half dequantizes with
-            # pure elementwise ops that XLA fuses into its dot's operand
-            # read -- the even/odd interleave would force a materialized
-            # full-size dequant matrix (6.5x slower at decode shapes)
+            # In-major packed-halves layout (quant/): w is packed_t
+            # (in/2, out) uint8, scales (in/group, out).  On TPU the fused
+            # Pallas kernel dequantizes in VMEM (HBM reads = packed bytes
+            # only); elsewhere a split-dot y = x_lo @ W_lo + x_hi @ W_hi
+            # whose dequant XLA materializes (still correct, ~5x the
+            # kernel's traffic -- kernels/quant_matmul.py).
+            from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import (
+                int4_matmul, int4_matmul_supported)
             from sparse_matrix_fine_tuning_tpu.quant import unpack_int4
             scales = self.dense_scales[...]
-            out_f, h = w.shape
+            h, out_f = w.shape
             g = self.quant_group
-            ns = scales.shape[1]
+            ns = scales.shape[0]
             xq = x.astype(compute)
+            if (jax.default_backend() == "tpu"
+                    and int4_matmul_supported(x.shape, w.shape, g)):
+                out = int4_matmul(xq, w, scales, g).astype(x.dtype)
+            else:
+                def half_dot(xh, qt, st):  # qt (h, out), st (ns/2, out)
+                    sb = jnp.broadcast_to(
+                        st[:, None, :], (ns // 2, g, out_f)).reshape(h, out_f)
+                    wd = (qt.astype(jnp.float32) * sb).astype(compute)
+                    return jax.lax.dot_general(
+                        xh, wd,
+                        dimension_numbers=(((xh.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-            def half_dot(xh, qh, sh):
-                wd = (qh.reshape(out_f, h // g, g).astype(jnp.float32)
-                      * sh[..., None]).reshape(out_f, h).astype(compute)
-                return jax.lax.dot_general(
-                    xh, wd, dimension_numbers=dims(xh),
-                    preferred_element_type=jnp.float32)
-
-            lo, hi = unpack_int4(w)
-            out = (half_dot(xq[..., :h], lo, scales[:, :ns // 2])
-                   + half_dot(xq[..., h:], hi, scales[:, ns // 2:])
-                   ).astype(x.dtype)
+                lo, hi = unpack_int4(w)
+                out = (half_dot(xq[..., :h], lo, scales[: ns // 2])
+                       + half_dot(xq[..., h:], hi, scales[ns // 2:])
+                       ).astype(x.dtype)
             if self.use_mult_factor:
                 out = blockdiag_multiply(
                     out, self.blkdiag_mult[...].astype(out.dtype))
             return out
         if qbits == 8:
-            # dequantised frozen base (see quant/): convert+scale fuses into
-            # the matmul operand read
+            # in-major int8 (quant/): fused Pallas dequant-dot on TPU,
+            # dequantize-then-dot elsewhere
+            from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import (
+                int8_matmul, int8_matmul_supported)
+            scales = self.dense_scales[...]
+            if (jax.default_backend() == "tpu"
+                    and int8_matmul_supported(x.shape, w.shape)):
+                out = int8_matmul(x.astype(compute), w, scales
+                                  ).astype(x.dtype)
+                if self.use_mult_factor:
+                    out = blockdiag_multiply(
+                        out, self.blkdiag_mult[...].astype(out.dtype))
+                return out
             from sparse_matrix_fine_tuning_tpu.quant import dequantize_int8
-            w = dequantize_int8(w, self.dense_scales[...], compute)
+            w = dequantize_int8(w, scales, compute)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)

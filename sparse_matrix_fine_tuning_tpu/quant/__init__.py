@@ -7,18 +7,22 @@ gestures at.  TPU-native scheme:
 
   int8: per-output-row absmax scaling, stored as int8 (half of bf16).
   int4: per-(row, group) absmax scaling with group_size input columns,
-        two nibbles packed per uint8 byte (quarter of bf16) in a
-        **packed-halves layout**: byte ``j`` holds input columns ``j``
-        (low nibble) and ``j + in/2`` (high nibble).
+        two nibbles packed per uint8 byte (quarter of bf16) in an
+        **in-major packed-halves layout**: ``packed_t (in/2, out)`` where
+        byte ``(j, o)`` holds input columns ``j`` (low nibble) and
+        ``j + in/2`` (high nibble) of output row ``o``;
+        ``scales (in/group, out)`` f32.
 
-Dequantisation happens in the forward as a convert+multiply that XLA fuses
-into the matmul operand read; adapters and all activations stay bf16.
-The halves layout exists because the natural even/odd interleave needs a
-lane-dimension shuffle (stack+reshape) that XLA must materialize as a full
-dequantized matrix in HBM -- measured 210 us for a 5632x2048 batch-4 dot
-vs 32.5 us for the halves layout, where each half dequantizes with pure
-elementwise ops and the matmul splits into two fused half-dots
-(``y = x_lo @ W_lo^T + x_hi @ W_hi^T`` -- MonarchLinear._dense_forward).
+The halves split exists because the natural even/odd nibble interleave
+needs a lane-dimension shuffle that XLA materializes as a full dequantized
+matrix in HBM (measured 6.5x slower at decode shapes); with halves the
+matmul splits into two dots ``y = x_lo @ W_lo + x_hi @ W_hi``.  The
+IN-MAJOR orientation makes the grouped scale broadcast a leading-axis
+reshape -- XLA-neutral (measured equal to out-major) but required by the
+fused Pallas dequant-matmul (kernels/int4_matmul.py), which keeps the
+dequantized matrix VMEM-resident so HBM traffic is the packed bytes only
+(the XLA paths all materialize the bf16 dequant: ~40 us for a
+(5632, 2048) batch-4 dot whose packed bytes stream in ~7 us).
 """
 
 from __future__ import annotations
@@ -40,24 +44,28 @@ class QuantScales(nnx.Variable):
 
 
 def quantize_int8(w):
-    """(values int8 (out, in), scales f32 (out, 1))"""
+    """(values int8 (in, out) in-major, scales f32 (1, out))"""
     w = np.asarray(w, np.float32)
     scales = np.abs(w).max(axis=1, keepdims=True) / 127.0
     scales = np.maximum(scales, 1e-12)
     q = np.clip(np.round(w / scales), -127, 127).astype(np.int8)
-    return q, scales.astype(np.float32)
+    return np.ascontiguousarray(q.T), \
+        np.ascontiguousarray(scales.astype(np.float32).T)
 
 
-def dequantize_int8(q, scales, dtype=jnp.float32):
-    return (q.astype(jnp.float32) * scales).astype(dtype)
+def dequantize_int8(q_t, scales, dtype=jnp.float32):
+    """Reconstruct W (out, in) from the in-major layout."""
+    return (q_t.astype(jnp.float32) * scales).T.astype(dtype)
 
 
 def quantize_int4(w, group_size: int = 64):
-    """(packed uint8 (out, in//2), scales f32 (out, in//group_size)).
+    """(packed_t uint8 (in//2, out), scales f32 (in//group_size, out)).
 
-    Packed-halves layout: byte j = column j (low nibble) | column
-    j + in//2 (high nibble), offset-8 encoded.  Requires (in//2) to be a
-    multiple of group_size so each half's scale groups stay contiguous."""
+    In-major packed-halves layout: byte (j, o) = W[o, j] (low nibble) |
+    W[o, j + in//2] (high nibble), offset-8 encoded.  Scale rows
+    [0, ns/2) belong to the low half, [ns/2, ns) to the high half.
+    Requires (in//2) to be a multiple of group_size so each half's scale
+    groups stay contiguous."""
     w = np.asarray(w, np.float32)
     out_f, in_f = w.shape
     h = in_f // 2
@@ -69,24 +77,31 @@ def quantize_int4(w, group_size: int = 64):
     q = np.clip(np.round(g / scales), -8, 7).astype(np.int8).reshape(out_f, in_f)
     u = (q + 8).astype(np.uint8)
     packed = (u[:, :h] | (u[:, h:] << 4)).astype(np.uint8)
-    return packed, scales[..., 0].astype(np.float32)
+    return np.ascontiguousarray(packed.T), \
+        np.ascontiguousarray(scales[..., 0].astype(np.float32).T)
 
 
-def unpack_int4(packed):
-    """(lo, hi) int8 halves -- columns [0, in/2) and [in/2, in)."""
-    lo = (packed & 0xF).astype(jnp.int8) - 8
-    hi = ((packed >> 4) & 0xF).astype(jnp.int8) - 8
+def unpack_int4(packed_t):
+    """(lo_t, hi_t) int8 transposed halves: lo_t (in/2, out) = W_lo^T for
+    input columns [0, in/2), hi_t for [in/2, in)."""
+    lo = (packed_t & 0xF).astype(jnp.int8) - 8
+    hi = ((packed_t >> 4) & 0xF).astype(jnp.int8) - 8
     return lo, hi
 
 
-def dequantize_int4(packed, scales, group_size: int = 64, dtype=jnp.float32):
-    lo, hi = unpack_int4(packed)
-    out_f = packed.shape[0]
-    in_f = packed.shape[1] * 2
-    q = jnp.concatenate([lo, hi], axis=1)
-    g = q.reshape(out_f, in_f // group_size, group_size).astype(jnp.float32)
-    w = g * scales[..., None]
-    return w.reshape(out_f, in_f).astype(dtype)
+def dequantize_int4(packed_t, scales, group_size: int = 64, dtype=jnp.float32):
+    """Reconstruct W (out, in) from the in-major layout."""
+    lo, hi = unpack_int4(packed_t)
+    h, out_f = packed_t.shape
+    ns = scales.shape[0]
+
+    def half(q, s):  # q (h, out), s (ns/2, out)
+        sb = jnp.broadcast_to(s[:, None, :], (ns // 2, group_size, out_f))
+        return q.astype(jnp.float32) * sb.reshape(h, out_f)
+
+    w_t = jnp.concatenate([half(lo, scales[: ns // 2]),
+                           half(hi, scales[ns // 2:])], axis=0)
+    return w_t.T.astype(dtype)
 
 
 import jax
@@ -98,7 +113,7 @@ def _quantize_int8_device(w):
     w = w.astype(jnp.float32)
     scales = jnp.maximum(jnp.abs(w).max(axis=1, keepdims=True) / 127.0, 1e-12)
     q = jnp.clip(jnp.round(w / scales), -127, 127).astype(jnp.int8)
-    return q, scales
+    return q.T, scales.T
 
 
 def _quantize_int4_device(w, group_size):
@@ -110,7 +125,7 @@ def _quantize_int4_device(w, group_size):
     u = (q + 8).astype(jnp.uint8)
     h = in_f // 2
     packed = (u[:, :h] | (u[:, h:] << 4)).astype(jnp.uint8)
-    return packed, scales[..., 0]
+    return packed.T, scales[..., 0].T
 
 
 def _fit_group(in_f: int, group_size: int):

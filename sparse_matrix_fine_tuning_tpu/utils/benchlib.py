@@ -44,11 +44,34 @@ def slope_time(loop, args, iters: int) -> float:
     return (t_hi - t_lo) / (iters * 2)
 
 
+_salt_counter = [0]
+
+
+def _salted(args):
+    """Copy of args with the first float-array operand nudged by a unique
+    tiny amount, so no two timed calls ever have identical inputs.  The
+    tunnel serves REPEATED identical calls from cache (hazard 1) -- and it
+    does so nondeterministically: the same harness has produced honest
+    numbers one session and below-HBM-floor impossibilities the next.
+    The nudge executes on device before timing starts."""
+    _salt_counter[0] += 1
+    out, done = [], False
+    for a in args:
+        if (not done and isinstance(a, jax.Array)
+                and jnp.issubdtype(a.dtype, jnp.floating)):
+            a = a + jnp.asarray(_salt_counter[0] * 1e-30, a.dtype)
+            done = True
+        out.append(a)
+    return out
+
+
 def _run_loop(loop, args, iters):
     # warmup run (compile + tunnel finalization); queue drained by the fetch
-    float(np.asarray(loop(*args, jnp.int32(iters))))
+    float(np.asarray(loop(*_salted(args), jnp.int32(iters))))
+    timed_args = _salted(args)
+    jax.block_until_ready(timed_args)
     t0 = time.perf_counter()
-    float(np.asarray(loop(*args, jnp.int32(iters))))
+    float(np.asarray(loop(*timed_args, jnp.int32(iters))))
     return time.perf_counter() - t0
 
 

@@ -28,8 +28,11 @@ def test_int8_roundtrip():
 def test_int4_roundtrip():
     w = np.random.default_rng(1).normal(size=(16, 128)).astype(np.float32)
     q, s = quantize_int4(w, group_size=64)
-    assert q.shape == (16, 64) and q.dtype == np.uint8
+    # in-major layout: packed_t (in/2, out), scales (in/group, out)
+    assert q.shape == (64, 16) and q.dtype == np.uint8
+    assert s.shape == (2, 16)
     wq = np.asarray(dequantize_int4(jnp.asarray(q), jnp.asarray(s), 64))
+    assert wq.shape == w.shape
     err = np.abs(wq - w).max() / np.abs(w).max()
     assert err < 0.1  # ~1/7 worst case per group
 
