@@ -422,9 +422,10 @@ class MonarchLinear(nnx.Module):
         from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
             monarch_kernel_supported)
         if (self.impl not in ("auto", "pallas") or self.dropout is not None
-                or self.scaler is not None or self.use_mult_factor
-                or self.quant_bits):
+                or self.scaler is not None or self.use_mult_factor):
             return False
+        # quantized bases are fine: the fused add consumes _dense_forward's
+        # output like any other base (kernels/quant_matmul.py produces it)
         if (self.nblocks * self.in_blksz != self.in_features
                 or self.nblocks * self.out_blksz != self.out_features):
             return False

@@ -18,11 +18,14 @@ Megatron-style per-layer rules keyed on the parameter path:
 
 Orientation note: ``MonarchLinear.dense`` is stored (out, in) while
 ``nnx.Linear.kernel`` is (in, out) -- the tp dim is resolved per leaf name.
+A QUANTIZED dense (int8/uint8 leaf dtype) is stored in-major (quant/), so
+its orientation matches kernel; detected from the dtype.
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Below this size it's cheaper to replicate than to gather (fsdp only; the
@@ -49,7 +52,8 @@ def batch_sharding(mesh: Mesh, macro: bool = False) -> NamedSharding:
     return NamedSharding(mesh, P(("dp", "fsdp")))
 
 
-def _tp_dim(path_str: str, ndim: int, shape, tp_size: int):
+def _tp_dim(path_str: str, ndim: int, shape, tp_size: int,
+            in_major: bool = False):
     """Which dim (if any) the tp axis shards for this parameter path."""
     if tp_size <= 1 or ndim != 2:
         return None
@@ -57,9 +61,11 @@ def _tp_dim(path_str: str, ndim: int, shape, tp_size: int):
     row = any(f"{name}" in path_str for name in _TP_ROW)
     if not (col or row):
         return None
-    # leaf name resolves the orientation: dense (out, in) vs kernel (in, out)
+    # leaf name resolves the orientation: dense (out, in) vs kernel (in, out).
+    # A QUANTIZED dense (int8/uint8 values -- quant/) is stored in-major
+    # (in, out), same orientation as kernel.
     if "dense" in path_str and "dense_scales" not in path_str:
-        dim = 0 if col else 1
+        dim = (1 if col else 0) if in_major else (0 if col else 1)
     elif "kernel" in path_str:
         dim = 1 if col else 0
     else:
@@ -72,7 +78,9 @@ def param_spec(value, fsdp_size: int, tp_size: int = 1,
     shape = getattr(value, "shape", ())
     ndim = len(shape)
     spec = [None] * ndim
-    tp_d = _tp_dim(path_str, ndim, shape, tp_size)
+    dt = getattr(value, "dtype", None)
+    in_major = dt in (jnp.uint8, jnp.int8) if dt is not None else False
+    tp_d = _tp_dim(path_str, ndim, shape, tp_size, in_major=in_major)
     if tp_d is not None:
         spec[tp_d] = "tp"
     if not shape or value.size < _MIN_SHARD_ELEMS:

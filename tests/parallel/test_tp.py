@@ -44,6 +44,51 @@ def test_tp_param_spec_rules():
     assert param_spec(odd, 2, 4, "['q_proj']['dense'].value") == P(None, "fsdp")
 
 
+def test_tp_param_spec_quantized_in_major():
+    # A quantized dense (int8/uint8 leaf) is stored IN-MAJOR (quant/):
+    # int4 packed_t (in/2, out), int8 values (in, out) -- so the tp dim
+    # flips relative to the bf16 (out, in) dense orientation.
+    packed4 = jnp.zeros((256, 512), jnp.uint8)   # (in/2, out)
+    assert param_spec(packed4, 2, 2, "['q_proj']['dense'].value") == \
+        P("fsdp", "tp")       # column-parallel: out features = dim 1
+    assert param_spec(packed4, 2, 2, "['o_proj']['dense'].value") == \
+        P("tp", "fsdp")       # row-parallel: input features = dim 0
+    vals8 = jnp.zeros((512, 512), jnp.int8)      # (in, out)
+    assert param_spec(vals8, 2, 2, "['up_proj']['dense'].value") == \
+        P("fsdp", "tp")
+    assert param_spec(vals8, 2, 2, "['down_proj']['dense'].value") == \
+        P("tp", "fsdp")
+    # bf16 dense unchanged by the dtype probe
+    assert param_spec(jnp.zeros((512, 512), jnp.bfloat16), 2, 2,
+                      "['q_proj']['dense'].value") == P("tp", "fsdp")
+    # scales never take the tp axis themselves (propagation reshards them)
+    assert param_spec(jnp.zeros((8, 512), jnp.float32), 2, 2,
+                      "['q_proj']['dense_scales'].value") == P()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_quantized_eval_matches_replicated(tmp_path):
+    from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    cfg, model = _flagship()
+    n = quantize_frozen_base(model, bits=4)
+    assert n > 0
+    data = _data(cfg)
+    tr_tp = _trainer(tmp_path, model, data, mesh, "tpq")
+    # the int4 packed dense landed in-major: tp on dim 1 for col-parallel
+    lyr = model.model.layers[0]
+    q = lyr.self_attn.q_proj.dense[...]
+    assert q.dtype == jnp.uint8
+    assert "tp" in str(q.sharding.spec[1])
+
+    cfg2, model2 = _flagship()
+    quantize_frozen_base(model2, bits=4)
+    tr_plain = _trainer(tmp_path, model2, data, None, "plainq")
+    np.testing.assert_allclose(tr_tp.evaluate()["eval_loss"],
+                               tr_plain.evaluate()["eval_loss"], rtol=2e-4)
+
+
 def _flagship(vocab=128, hidden=256, layers=2, heads=4, inter=512):
     cfg = LlamaConfig(
         vocab_size=vocab, hidden_size=hidden, num_hidden_layers=layers,
