@@ -46,23 +46,31 @@ from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import _vmem_budgets
 Array = jax.Array
 
 
-def _pick_fwd_tiles(b: int, in_f: int, h: int, out_f: int) -> tuple:
-    """(row tile, out-column tile) for the forward.  Per-grid-step VMEM:
-    x block (tb, in) bf16 double-buffered, packed (h, to) uint8 x2, the
-    int32 nibble temp + f32 scale broadcast + bf16 dequant (h, to), and
-    the (tb, to) f32 accumulator."""
+def _pick_fwd_tiles(b: int, in_f: int, h: int, out_f: int):
+    """(row tile, out-column tile) for the forward, or None if no tiling
+    fits this device's VMEM (caller falls back to the XLA path).
+    Per-grid-step VMEM: x block (tb, in) bf16 double-buffered, packed
+    (h, to) uint8 x2, the int32 nibble temp + f32 scale broadcast + bf16
+    dequant (h, to), the (tb, to) f32 accumulator, and the backward's
+    resident (tb, in) dx block (same picker serves both directions).
+    Wide 7B-class in_features (11008) need small row tiles: prefer wide
+    out-column tiles first (amortise the per-chunk dequant), then shrink
+    rows."""
     budget = _vmem_budgets()[1]
-    tb = b if b <= 256 else 256
-    for to in (512, 384, 256, 128):
-        if out_f % to:
+    for tb in (min(b, 256), 128, 64, 32):
+        if tb > b:
             continue
-        need = (4 * tb * in_f            # x bf16 x2 buffers
-                + 2 * h * to             # packed x2
-                + h * to * (4 + 4 + 2)   # int32 + f32 scales + bf16 w
-                + 4 * tb * to)
-        if need <= budget:
-            return tb, to
-    return tb, 128
+        for to in (512, 384, 256, 128):
+            if out_f % to:
+                continue
+            need = (4 * tb * in_f            # x bf16 x2 buffers
+                    + 2 * h * to             # packed x2
+                    + h * to * (4 + 4 + 2)   # int32 + f32 scales + bf16 w
+                    + 4 * tb * to            # f32 accumulator
+                    + 4 * tb * in_f)         # bwd f32 dx block (resident)
+            if need <= budget:
+                return tb, to
+    return None
 
 
 def _unpack_scaled(p, s_ref, g: int, nibble: str, dtype):
@@ -98,6 +106,9 @@ def _fwd_kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, g: int):
 
 
 def _bwd_kernel(dy_ref, p_ref, slo_ref, shi_ref, dx_ref, *, g: int):
+    """dx accumulates across sequential out-chunk grid steps in an f32
+    output block (bf16 += over ~out/to chunks measures 1.5-2.5% dx error
+    vs f32 -- the XLA paths accumulate dots in f32, so must we)."""
     k = pl.program_id(1)
     h, _ = p_ref.shape
     p = p_ref[...].astype(jnp.int32)
@@ -113,14 +124,16 @@ def _bwd_kernel(dy_ref, p_ref, slo_ref, shi_ref, dx_ref, *, g: int):
             dy_ref[...], w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dx_ref[:, :h] += half_dxt("lo", slo_ref).astype(dx_ref.dtype)
-    dx_ref[:, h:] += half_dxt("hi", shi_ref).astype(dx_ref.dtype)
+    dx_ref[:, :h] += half_dxt("lo", slo_ref)
+    dx_ref[:, h:] += half_dxt("hi", shi_ref)
 
 
 def _fwd_call(x2d, packed_t, slo, shi, g, interpret):
     b, in_f = x2d.shape
     h, out_f = packed_t.shape
-    tb, to = _pick_fwd_tiles(b, in_f, h, out_f)
+    tiles = _pick_fwd_tiles(b, in_f, h, out_f)
+    assert tiles is not None, "gate with int4_matmul_supported first"
+    tb, to = tiles
     grid = (pl.cdiv(b, tb), out_f // to)  # row-major: x block reused over j
     ns2 = slo.shape[0]
     return pl.pallas_call(
@@ -147,7 +160,9 @@ def _bwd_call(dy2d, packed_t, slo, shi, g, interpret):
     b, out_f = dy2d.shape
     h, _ = packed_t.shape
     in_f = 2 * h
-    tb, to = _pick_fwd_tiles(b, in_f, h, out_f)
+    tiles = _pick_fwd_tiles(b, in_f, h, out_f)
+    assert tiles is not None, "gate with int4_matmul_supported first"
+    tb, to = tiles
     grid = (pl.cdiv(b, tb), out_f // to)  # k (out chunks) innermost
     ns2 = slo.shape[0]
     return pl.pallas_call(
@@ -160,9 +175,9 @@ def _bwd_call(dy2d, packed_t, slo, shi, g, interpret):
             pl.BlockSpec((ns2, to), lambda i, k: (0, k)),
         ],
         out_specs=pl.BlockSpec((tb, in_f), lambda i, k: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, in_f), dy2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, in_f), jnp.float32),
         interpret=interpret,
-    )(dy2d, packed_t, slo, shi)
+    )(dy2d, packed_t, slo, shi).astype(dy2d.dtype)
 
 
 @functools.lru_cache(maxsize=2)
@@ -190,9 +205,10 @@ def _int4_matmul_vjp(g: int, interpret: bool):
 
 def int4_matmul_supported(x_shape, packed_t_shape, group: int) -> bool:
     """Shapes the kernel handles: lane dims multiples of 128, the packed
-    sublane (in/2) a multiple of the int8 tile (32) and of the group, and
-    VMEM budgets known for this device kind (unknown parts raise in
-    ``_vmem_budgets`` -- use the XLA path there)."""
+    sublane (in/2) a multiple of the int8 tile (32) and of the group, a
+    tile plan that fits this device's VMEM, and VMEM budgets known for
+    this device kind (unknown parts raise in ``_vmem_budgets`` -- use the
+    XLA path there)."""
     in_f = x_shape[-1]
     h, out_f = packed_t_shape
     if 2 * h != in_f or out_f % 128 or h % 32 or h % group:
@@ -200,8 +216,10 @@ def int4_matmul_supported(x_shape, packed_t_shape, group: int) -> bool:
     ns = in_f // group
     if ns % 2:
         return False
-    _vmem_budgets()  # raises on untuned device kinds
-    return True
+    b = 1
+    for d in x_shape[:-1]:
+        b *= d
+    return _pick_fwd_tiles(b, in_f, h, out_f) is not None
 
 
 def int4_matmul(x: Array, packed_t: Array, scales: Array, group: int,
@@ -235,6 +253,7 @@ def _fwd8_kernel(x_ref, q_ref, s_ref, o_ref):
 
 
 def _bwd8_kernel(dy_ref, q_ref, s_ref, dx_ref):
+    # f32 accumulation across out-chunks, as in _bwd_kernel
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -244,21 +263,25 @@ def _bwd8_kernel(dy_ref, q_ref, s_ref, dx_ref):
     w = (q_ref[...].astype(jnp.float32) * s_ref[...]).astype(dy_ref.dtype)
     dx_ref[...] += jax.lax.dot_general(
         dy_ref[...], w, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+        preferred_element_type=jnp.float32)
 
 
-def _pick8_tiles(b: int, in_f: int, out_f: int) -> tuple:
+def _pick8_tiles(b: int, in_f: int, out_f: int):
+    """Like ``_pick_fwd_tiles``: (tb, to) or None if nothing fits VMEM."""
     budget = _vmem_budgets()[1]
-    tb = b if b <= 256 else 256
-    for to in (512, 384, 256, 128):
-        if out_f % to:
+    for tb in (min(b, 256), 128, 64, 32):
+        if tb > b:
             continue
-        need = (4 * tb * in_f + 2 * in_f * to        # x x2, q x2
-                + in_f * to * (4 + 2)                # f32 + bf16 dequant
-                + 4 * tb * to)
-        if need <= budget:
-            return tb, to
-    return tb, 128
+        for to in (512, 384, 256, 128):
+            if out_f % to:
+                continue
+            need = (4 * tb * in_f + 2 * in_f * to        # x x2, q x2
+                    + in_f * to * (4 + 2)                # f32 + bf16 dequant
+                    + 4 * tb * to
+                    + 4 * tb * in_f)                     # bwd f32 dx block
+            if need <= budget:
+                return tb, to
+    return None
 
 
 @functools.lru_cache(maxsize=2)
@@ -269,7 +292,9 @@ def _int8_matmul_vjp(interpret: bool):
         x2d = x.reshape(-1, in_f)
         b = x2d.shape[0]
         out_f = q_t.shape[1]
-        tb, to = _pick8_tiles(b, in_f, out_f)
+        tiles = _pick8_tiles(b, in_f, out_f)
+        assert tiles is not None, "gate with int8_matmul_supported first"
+        tb, to = tiles
         out = pl.pallas_call(
             _fwd8_kernel,
             grid=(pl.cdiv(b, tb), out_f // to),
@@ -296,7 +321,9 @@ def _int8_matmul_vjp(interpret: bool):
         in_f, out_f = q_t.shape
         dy2d = dout.reshape(-1, out_f)
         b = dy2d.shape[0]
-        tb, to = _pick8_tiles(b, in_f, out_f)
+        tiles = _pick8_tiles(b, in_f, out_f)
+        assert tiles is not None, "gate with int8_matmul_supported first"
+        tb, to = tiles
         dx = pl.pallas_call(
             _bwd8_kernel,
             grid=(pl.cdiv(b, tb), out_f // to),  # out chunks innermost
@@ -306,9 +333,9 @@ def _int8_matmul_vjp(interpret: bool):
                 pl.BlockSpec((1, to), lambda i, k: (0, k)),
             ],
             out_specs=pl.BlockSpec((tb, in_f), lambda i, k: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, in_f), dout.dtype),
+            out_shape=jax.ShapeDtypeStruct((b, in_f), jnp.float32),
             interpret=interpret,
-        )(dy2d, q_t, scales)
+        )(dy2d, q_t, scales).astype(dout.dtype)
         return (dx.reshape(x_shape),
                 np.zeros(q_t.shape, jax.dtypes.float0),
                 jnp.zeros_like(scales))
@@ -318,13 +345,15 @@ def _int8_matmul_vjp(interpret: bool):
 
 
 def int8_matmul_supported(x_shape, q_t_shape) -> bool:
-    """Lane dims multiples of 128, int8 sublane a multiple of 32, known
-    device-kind VMEM budget (raises otherwise)."""
+    """Lane dims multiples of 128, int8 sublane a multiple of 32, a tile
+    plan that fits VMEM, known device-kind budget (raises otherwise)."""
     in_f = x_shape[-1]
     if q_t_shape[0] != in_f or q_t_shape[1] % 128 or in_f % 32:
         return False
-    _vmem_budgets()
-    return True
+    b = 1
+    for d in x_shape[:-1]:
+        b *= d
+    return _pick8_tiles(b, in_f, q_t_shape[1]) is not None
 
 
 def int8_matmul(x: Array, q_t: Array, scales: Array,
