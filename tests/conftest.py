@@ -24,6 +24,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite is jit-compile dominated (flat
+# ~2-5 s/test profile); cached executables make repeat runs mostly
+# compile-free.  Safe to share across processes; keyed on HLO + config.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_TEST_CACHE_DIR",
+                                 "/tmp/sparse_matrix_fine_tuning_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 # ---------------------------------------------------------------------------
 # Fast/slow tiers: `pytest -m "not slow"` is the quick gate (<~3 min);
