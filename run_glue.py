@@ -32,8 +32,11 @@ def parse_args():
     p.add_argument("--lora", default=False, type=eval)
     p.add_argument("--boft", default=False, type=eval)
     p.add_argument("--do_tune", default=False, type=eval)
-    p.add_argument("--n_trials", default=25, type=int,
-                   help="HPO trials (reference train_utils.py:63 default)")
+    p.add_argument("--n_trials", default=None, type=int,
+                   help="HPO trials; default = per-method reference budget "
+                        "(monarch 25 -- train_utils.py:63; BOFT 15; full-FT "
+                        "runs its fixed grid).  An explicit value overrides "
+                        "the method budget.")
     p.add_argument("--parallel_trials", default=1, type=int,
                    help="concurrent trials per rung (Ray trial placement equiv.)")
     p.add_argument("--smoke", default=False, type=eval,
@@ -201,8 +204,9 @@ def build_search_space(args, peft_config, train_args):
         choice, grid, quniform)
 
     if args.boft:
-        return {"seed": train_args.seed,
-                "learning_rate": quniform(8e-5, 8e-4, 4e-5)}, 15
+        return ({"seed": train_args.seed,
+                 "learning_rate": quniform(8e-5, 8e-4, 4e-5)},
+                args.n_trials or 15)
     if args.monarch:
         space = {
             "seed": train_args.seed,
@@ -213,7 +217,7 @@ def build_search_space(args, peft_config, train_args):
             "blk_r": peft_config.get("blk_r", 4),
             "nblocks": peft_config.get("nblocks", 4),
         }
-        n_trials = args.n_trials
+        n_trials = args.n_trials or 25
         if args.tune_blk_config:
             # block-config NAS (reference run_glue.py:609-616)
             space["blk_r"] = choice([1, 2, 4, 8])
@@ -227,7 +231,7 @@ def build_search_space(args, peft_config, train_args):
         "per_device_train_batch_size": grid([16, 32]),
         "weight_decay": choice([0.1]),
         "lr_scheduler_type": grid(["cosine"]),
-    }, 1
+    }, args.n_trials or 1
 
 
 def main():

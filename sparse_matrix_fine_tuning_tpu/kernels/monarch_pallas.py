@@ -70,17 +70,29 @@ _DEFAULT_VMEM_BUDGETS = (6 * 1024 * 1024, 12 * 1024 * 1024)
 
 
 @functools.lru_cache(maxsize=1)
-def _vmem_budgets() -> tuple:
+def _vmem_budgets_or_none():
+    """Budgets for this device kind, or None when untuned.  ``*_supported``
+    gates treat None as unsupported so every auto-dispatch path falls back
+    to XLA on TPU generations we have not measured; only an EXPLICIT kernel
+    opt-in refuses loudly (``_vmem_budgets``)."""
     if jax.default_backend() != "tpu":
         return _DEFAULT_VMEM_BUDGETS
     kind = jax.devices()[0].device_kind
     for prefix, budgets in _TUNED_VMEM_BUDGETS.items():
         if kind.startswith(prefix):
             return budgets
+    return None
+
+
+def _vmem_budgets() -> tuple:
+    budgets = _vmem_budgets_or_none()
+    if budgets is not None:
+        return budgets
     raise NotImplementedError(
         f"Pallas monarch kernels have VMEM budgets tuned only for "
         f"{sorted(_TUNED_VMEM_BUDGETS)}; this runtime reports device_kind="
-        f"{kind!r}.  Measure this part's VMEM capacity and add an entry to "
+        f"{jax.devices()[0].device_kind!r}.  Measure this part's VMEM "
+        f"capacity and add an entry to "
         f"kernels/monarch_pallas._TUNED_VMEM_BUDGETS (or use the XLA path, "
         f"impl='xla', which needs no tuning).")
 
@@ -94,7 +106,10 @@ def monarch_kernel_supported(n_features: int, w1_shape, w2_shape, itemsize: int 
     l, s, r = w2_shape
     if k * p != n_features or l * r != k * q:
         return False
-    return _expanded_bytes(n_features, s * l, k * q, itemsize) <= _vmem_budgets()[0]
+    budgets = _vmem_budgets_or_none()
+    if budgets is None:  # untuned TPU generation: auto paths use XLA
+        return False
+    return _expanded_bytes(n_features, s * l, k * q, itemsize) <= budgets[0]
 
 
 def expand_monarch_factors(w1: Array, w2: Array):

@@ -29,7 +29,9 @@ Backward (frozen weights -- dx only, no dw):
 
 Both are memory-bound on the packed bytes; MXU utilisation is secondary
 (decode batches are tiny).  VMEM budgets come from
-``monarch_pallas._vmem_budgets`` (per-device-kind, refuse-on-unknown).
+``monarch_pallas._vmem_budgets_or_none`` (per-device-kind; on untuned TPU
+generations the ``*_supported`` gates return False and callers take the
+XLA split-dot path).
 """
 
 from __future__ import annotations
@@ -41,36 +43,48 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import _vmem_budgets
+from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+    _vmem_budgets_or_none)
 
 Array = jax.Array
 
 
-def _pick_fwd_tiles(b: int, in_f: int, h: int, out_f: int):
-    """(row tile, out-column tile) for the forward, or None if no tiling
-    fits this device's VMEM (caller falls back to the XLA path).
-    Per-grid-step VMEM: x block (tb, in) bf16 double-buffered, packed
-    (h, to) uint8 x2, the int32 nibble temp + f32 scale broadcast + bf16
-    dequant (h, to), the (tb, to) f32 accumulator, and the backward's
-    resident (tb, in) dx block (same picker serves both directions).
-    Wide 7B-class in_features (11008) need small row tiles: prefer wide
-    out-column tiles first (amortise the per-chunk dequant), then shrink
-    rows."""
-    budget = _vmem_budgets()[1]
+def _pick_tiles(b: int, in_f: int, rows: int, out_f: int,
+                cell_bytes: int, xb: int):
+    """Shared (row tile, out-column tile) picker for both quant kernels,
+    or None if no tiling fits this device's VMEM (callers fall back to the
+    XLA path; also None on untuned TPU generations).
+
+    Per-grid-step VMEM: x block (tb, in) in the activation dtype (``xb``
+    bytes/elem) double-buffered, the packed operand + its dequant temps at
+    ``cell_bytes`` per (row, col) over (rows, to), the (tb, to) f32
+    accumulator, and the backward's resident (tb, in) f32 dx block (the
+    same picker serves both directions).  Wide 7B-class in_features
+    (11008) need small row tiles: prefer wide out-column tiles first
+    (amortise the per-chunk dequant), then shrink rows."""
+    budgets = _vmem_budgets_or_none()
+    if budgets is None:
+        return None
+    budget = budgets[1]
     for tb in (min(b, 256), 128, 64, 32):
         if tb > b:
             continue
         for to in (512, 384, 256, 128):
             if out_f % to:
                 continue
-            need = (4 * tb * in_f            # x bf16 x2 buffers
-                    + 2 * h * to             # packed x2
-                    + h * to * (4 + 4 + 2)   # int32 + f32 scales + bf16 w
+            need = (2 * xb * tb * in_f       # x blocks, double-buffered
+                    + rows * to * cell_bytes
                     + 4 * tb * to            # f32 accumulator
                     + 4 * tb * in_f)         # bwd f32 dx block (resident)
             if need <= budget:
                 return tb, to
     return None
+
+
+def _pick_fwd_tiles(b: int, in_f: int, h: int, out_f: int, xb: int = 2):
+    """int4 tiles: packed (h, to) uint8 x2 buffers, plus the int32 nibble
+    temp + f32 scale broadcast + activation-dtype dequant per cell."""
+    return _pick_tiles(b, in_f, h, out_f, cell_bytes=2 + 4 + 4 + xb, xb=xb)
 
 
 def _unpack_scaled(p, s_ref, g: int, nibble: str, dtype):
@@ -131,7 +145,7 @@ def _bwd_kernel(dy_ref, p_ref, slo_ref, shi_ref, dx_ref, *, g: int):
 def _fwd_call(x2d, packed_t, slo, shi, g, interpret):
     b, in_f = x2d.shape
     h, out_f = packed_t.shape
-    tiles = _pick_fwd_tiles(b, in_f, h, out_f)
+    tiles = _pick_fwd_tiles(b, in_f, h, out_f, x2d.dtype.itemsize)
     assert tiles is not None, "gate with int4_matmul_supported first"
     tb, to = tiles
     grid = (pl.cdiv(b, tb), out_f // to)  # row-major: x block reused over j
@@ -160,7 +174,7 @@ def _bwd_call(dy2d, packed_t, slo, shi, g, interpret):
     b, out_f = dy2d.shape
     h, _ = packed_t.shape
     in_f = 2 * h
-    tiles = _pick_fwd_tiles(b, in_f, h, out_f)
+    tiles = _pick_fwd_tiles(b, in_f, h, out_f, dy2d.dtype.itemsize)
     assert tiles is not None, "gate with int4_matmul_supported first"
     tb, to = tiles
     grid = (pl.cdiv(b, tb), out_f // to)  # k (out chunks) innermost
@@ -203,12 +217,13 @@ def _int4_matmul_vjp(g: int, interpret: bool):
     return mm
 
 
-def int4_matmul_supported(x_shape, packed_t_shape, group: int) -> bool:
+def int4_matmul_supported(x_shape, packed_t_shape, group: int,
+                          itemsize: int = 2) -> bool:
     """Shapes the kernel handles: lane dims multiples of 128, the packed
-    sublane (in/2) a multiple of the int8 tile (32) and of the group, a
-    tile plan that fits this device's VMEM, and VMEM budgets known for
-    this device kind (unknown parts raise in ``_vmem_budgets`` -- use the
-    XLA path there)."""
+    sublane (in/2) a multiple of the int8 tile (32) and of the group, and
+    a tile plan that fits this device's VMEM at the activation dtype's
+    ``itemsize`` (False on untuned TPU generations -- callers fall back to
+    the XLA split-dot path)."""
     in_f = x_shape[-1]
     h, out_f = packed_t_shape
     if 2 * h != in_f or out_f % 128 or h % 32 or h % group:
@@ -219,7 +234,7 @@ def int4_matmul_supported(x_shape, packed_t_shape, group: int) -> bool:
     b = 1
     for d in x_shape[:-1]:
         b *= d
-    return _pick_fwd_tiles(b, in_f, h, out_f) is not None
+    return _pick_fwd_tiles(b, in_f, h, out_f, itemsize) is not None
 
 
 def int4_matmul(x: Array, packed_t: Array, scales: Array, group: int,
@@ -266,22 +281,10 @@ def _bwd8_kernel(dy_ref, q_ref, s_ref, dx_ref):
         preferred_element_type=jnp.float32)
 
 
-def _pick8_tiles(b: int, in_f: int, out_f: int):
-    """Like ``_pick_fwd_tiles``: (tb, to) or None if nothing fits VMEM."""
-    budget = _vmem_budgets()[1]
-    for tb in (min(b, 256), 128, 64, 32):
-        if tb > b:
-            continue
-        for to in (512, 384, 256, 128):
-            if out_f % to:
-                continue
-            need = (4 * tb * in_f + 2 * in_f * to        # x x2, q x2
-                    + in_f * to * (4 + 2)                # f32 + bf16 dequant
-                    + 4 * tb * to
-                    + 4 * tb * in_f)                     # bwd f32 dx block
-            if need <= budget:
-                return tb, to
-    return None
+def _pick8_tiles(b: int, in_f: int, out_f: int, xb: int = 2):
+    """int8 tiles: q (in, to) int8 x2 buffers, plus the f32 widening +
+    activation-dtype dequant per cell."""
+    return _pick_tiles(b, in_f, in_f, out_f, cell_bytes=2 + 4 + xb, xb=xb)
 
 
 @functools.lru_cache(maxsize=2)
@@ -292,7 +295,7 @@ def _int8_matmul_vjp(interpret: bool):
         x2d = x.reshape(-1, in_f)
         b = x2d.shape[0]
         out_f = q_t.shape[1]
-        tiles = _pick8_tiles(b, in_f, out_f)
+        tiles = _pick8_tiles(b, in_f, out_f, x2d.dtype.itemsize)
         assert tiles is not None, "gate with int8_matmul_supported first"
         tb, to = tiles
         out = pl.pallas_call(
@@ -321,7 +324,7 @@ def _int8_matmul_vjp(interpret: bool):
         in_f, out_f = q_t.shape
         dy2d = dout.reshape(-1, out_f)
         b = dy2d.shape[0]
-        tiles = _pick8_tiles(b, in_f, out_f)
+        tiles = _pick8_tiles(b, in_f, out_f, dy2d.dtype.itemsize)
         assert tiles is not None, "gate with int8_matmul_supported first"
         tb, to = tiles
         dx = pl.pallas_call(
@@ -344,16 +347,17 @@ def _int8_matmul_vjp(interpret: bool):
     return mm
 
 
-def int8_matmul_supported(x_shape, q_t_shape) -> bool:
-    """Lane dims multiples of 128, int8 sublane a multiple of 32, a tile
-    plan that fits VMEM, known device-kind budget (raises otherwise)."""
+def int8_matmul_supported(x_shape, q_t_shape, itemsize: int = 2) -> bool:
+    """Lane dims multiples of 128, int8 sublane a multiple of 32, and a
+    tile plan that fits VMEM at the activation dtype's ``itemsize``
+    (False on untuned TPU generations -- callers fall back to XLA)."""
     in_f = x_shape[-1]
     if q_t_shape[0] != in_f or q_t_shape[1] % 128 or in_f % 32:
         return False
     b = 1
     for d in x_shape[:-1]:
         b *= d
-    return _pick8_tiles(b, in_f, q_t_shape[1]) is not None
+    return _pick8_tiles(b, in_f, q_t_shape[1], itemsize) is not None
 
 
 def int8_matmul(x: Array, q_t: Array, scales: Array,

@@ -367,7 +367,8 @@ class MonarchLinear(nnx.Module):
             ns = scales.shape[0]
             xq = x.astype(compute)
             if (jax.default_backend() == "tpu"
-                    and int4_matmul_supported(x.shape, w.shape, g)):
+                    and int4_matmul_supported(x.shape, w.shape, g,
+                                              xq.dtype.itemsize)):
                 out = int4_matmul(xq, w, scales, g).astype(x.dtype)
             else:
                 def half_dot(xh, qt, st):  # qt (h, out), st (ns/2, out)
@@ -394,7 +395,8 @@ class MonarchLinear(nnx.Module):
                 int8_matmul, int8_matmul_supported)
             scales = self.dense_scales[...]
             if (jax.default_backend() == "tpu"
-                    and int8_matmul_supported(x.shape, w.shape)):
+                    and int8_matmul_supported(x.shape, w.shape,
+                                              jnp.dtype(compute).itemsize)):
                 out = int8_matmul(x.astype(compute), w, scales
                                   ).astype(x.dtype)
                 if self.use_mult_factor:

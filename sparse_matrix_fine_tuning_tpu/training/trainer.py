@@ -507,8 +507,10 @@ class Trainer:
     def save_checkpoint(self, tag: Optional[str] = None, final: bool = False) -> str:
         # epoch / in-epoch cursor / data-order seed: lets a resumed run (and
         # a human reading meta.json) verify the replay position the step
-        # count implies (mid-epoch resume fidelity)
-        spe = max(self.steps_per_epoch(), 1)
+        # count implies (mid-epoch resume fidelity); eval-only trainers
+        # (train_data=None) have no epoch structure to record
+        spe = (max(self.steps_per_epoch(), 1)
+               if self.train_data is not None else 1)
         return ckpt_lib.save(
             self.args.output_dir, self.step, self.trainable,
             nnx.state(self.optimizer),

@@ -49,17 +49,28 @@ _salt_counter = [0]
 
 def _salted(args):
     """Copy of args with the first float-array operand nudged by a unique
-    tiny amount, so no two timed calls ever have identical inputs.  The
-    tunnel serves REPEATED identical calls from cache (hazard 1) -- and it
-    does so nondeterministically: the same harness has produced honest
+    RELATIVE amount, so no two timed calls ever have identical inputs.
+    The tunnel serves REPEATED identical calls from cache (hazard 1) -- and
+    it does so nondeterministically: the same harness has produced honest
     numbers one session and below-HBM-floor impossibilities the next.
-    The nudge executes on device before timing starts."""
+    The nudge must change BITS: an absolute ``+ 1e-30`` rounds away below
+    one ulp of any normally-scaled value, so the scale is multiplicative at
+    k ulps of 1.0 (k*0.8% for bf16 -- irrelevant to timing, bit-distinct
+    for every nonzero element).  It executes on device before timing
+    starts, and always produces fresh buffers as well."""
     _salt_counter[0] += 1
+    # k stays in [1, 97] so the factor 1 + k*eps lives in [1, 2), where
+    # every eps step is exactly representable (beyond 2.0 the ulp doubles
+    # and consecutive counters would collide back to identical factors);
+    # 97 is prime, so consecutive calls always get distinct factors.
+    k = _salt_counter[0] % 97 + 1
     out, done = [], False
     for a in args:
         if (not done and isinstance(a, jax.Array)
                 and jnp.issubdtype(a.dtype, jnp.floating)):
-            a = a + jnp.asarray(_salt_counter[0] * 1e-30, a.dtype)
+            eps = jnp.asarray(jnp.finfo(a.dtype).eps, a.dtype)
+            factor = jnp.ones((), a.dtype) + jnp.asarray(k, a.dtype) * eps
+            a = a * factor
             done = True
         out.append(a)
     return out

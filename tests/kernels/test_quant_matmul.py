@@ -109,3 +109,27 @@ def test_layer_int4_fallback_path_matches_oracle():
     ref = np.asarray(x @ wd.T) + monarch_only
     got = np.asarray(layer(x))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4 * np.abs(ref).max())
+
+
+def test_supported_accounts_for_activation_itemsize():
+    """The tile picker charges VMEM at the activation dtype's width: a
+    7B-shaped layer fits at bf16 but must be rejected at f32 (the gate
+    previously assumed 2 bytes and approved tilings that overflow VMEM)."""
+    x_shape, packed_shape = (256, 11008), (5504, 4096)
+    assert int4_matmul_supported(x_shape, packed_shape, 64, itemsize=2)
+    assert not int4_matmul_supported(x_shape, packed_shape, 64, itemsize=4)
+
+
+def test_supported_false_on_untuned_device_kind(monkeypatch):
+    """Unknown TPU generations have no measured VMEM budget: every
+    *_supported gate must return False (callers fall back to the XLA
+    dequant path) instead of raising out of the default forward."""
+    from sparse_matrix_fine_tuning_tpu.kernels import quant_matmul as qm
+    from sparse_matrix_fine_tuning_tpu.kernels import monarch_pallas as mp
+
+    monkeypatch.setattr(qm, "_vmem_budgets_or_none", lambda: None)
+    assert not int4_matmul_supported((8, 256), (128, 256), 64)
+    assert not qm.int8_matmul_supported((8, 256), (256, 256))
+
+    monkeypatch.setattr(mp, "_vmem_budgets_or_none", lambda: None)
+    assert not mp.monarch_kernel_supported(256, (4, 16, 64), (4, 64, 16))

@@ -79,8 +79,9 @@ def test_reference_method_spaces_and_budgets():
     train_args = types.SimpleNamespace(seed=42, weight_decay=0.01)
 
     # monarch: pinned blk shapes, quantised lr, batch choice, cosine pinned
+    # (n_trials=None -> the method's reference budget)
     args = types.SimpleNamespace(boft=False, monarch=True, lora=False,
-                                 n_trials=25, tune_blk_config=False)
+                                 n_trials=None, tune_blk_config=False)
     space, n = run_glue.build_search_space(
         args, {"blk_r": 8, "nblocks": 4}, train_args)
     assert n == 25
@@ -96,15 +97,19 @@ def test_reference_method_spaces_and_budgets():
     assert space["blk_r"] == ("choice", [1, 2, 4, 8])
     assert space["blk_sz"] == ("choice", [64, 128, 512])
 
-    # boft: lr-only, 15 trials (reference :617-626)
+    # boft: lr-only, 15 trials by default; an EXPLICIT --n_trials overrides
+    # the method budget
     args = types.SimpleNamespace(boft=True, monarch=True, lora=False,
-                                 n_trials=25, tune_blk_config=False)
+                                 n_trials=None, tune_blk_config=False)
     space, n = run_glue.build_search_space(args, {}, train_args)
     assert n == 15 and set(space) == {"seed", "learning_rate"}
+    args.n_trials = 5
+    _, n = run_glue.build_search_space(args, {}, train_args)
+    assert n == 5
 
     # full FT: pure grid (reference :628-636)
     args = types.SimpleNamespace(boft=False, monarch=False, lora=False,
-                                 n_trials=25, tune_blk_config=False)
+                                 n_trials=None, tune_blk_config=False)
     space, n = run_glue.build_search_space(args, {}, train_args)
     assert space["learning_rate"] == ("grid", [1e-5, 2e-5, 3e-5])
 

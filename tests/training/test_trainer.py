@@ -390,3 +390,24 @@ def test_mid_epoch_resume_sees_identical_batch_sequence(tmp_path):
         jax.tree.map(np.asarray, t3.trainable))[0]
     for (pa, a), (_, b) in zip(resumed, straight):
         np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+
+def test_eval_only_trainer_can_save_checkpoint(tmp_path):
+    """Trainer(train_data=None) is a supported eval-only configuration;
+    save_checkpoint must not require epoch structure (regression: it
+    crashed computing steps_per_epoch over None train_data)."""
+    from sparse_matrix_fine_tuning_tpu.models import RobertaConfig
+    from sparse_matrix_fine_tuning_tpu.models.roberta import (
+        RobertaForSequenceClassification)
+
+    cfg = RobertaConfig(vocab_size=128, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=66, num_labels=2)
+    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    init_monarch(model, PEFT, rngs=nnx.Rngs(1))
+    data = _synthetic_task(cfg, n=8, seed=0)
+    args = TrainingArgs(output_dir=str(tmp_path), logging_steps=0,
+                        log_param_steps=0)
+    t = Trainer(model, args, eval_data=data)
+    path = t.save_checkpoint(tag="evalonly")
+    assert os.path.isdir(path)
