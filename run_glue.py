@@ -223,7 +223,8 @@ def build_search_space(args, peft_config, train_args):
             space["blk_r"] = choice([1, 2, 4, 8])
             space["blk_sz"] = choice([64, 128, 512])
             del space["nblocks"]  # blk_sz determines the block count
-            n_trials += 10
+            if args.n_trials is None:  # explicit --n_trials is exact
+                n_trials += 10
         return space, n_trials
     # vanilla fine-tuning (or LoRA): the reference's grid search
     return {

@@ -56,7 +56,12 @@ def predict_logits(model: nnx.Module, data, batch_size: int = 64) -> np.ndarray:
         logits = _batch_logits(graphdef, state, jnp.asarray(b_ids),
                                jnp.asarray(b_mask))
         outs.append(np.asarray(logits[:k], dtype=np.float32))
-    return np.concatenate(outs) if outs else np.zeros((0, 1), np.float32)
+    if outs:
+        return np.concatenate(outs)
+    # empty split: keep the logit width honest so predict_classes still
+    # routes multi-class models to argmax, not the single-logit branch
+    width = getattr(getattr(model, "config", None), "num_labels", 1)
+    return np.zeros((0, width), np.float32)
 
 
 def predict_classes(model: nnx.Module, data, batch_size: int = 64) -> np.ndarray:

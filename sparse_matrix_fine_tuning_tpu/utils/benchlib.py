@@ -22,6 +22,7 @@ traffic doesn't shadow a memory-bound op.
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Callable, Sequence
 
 import jax
@@ -73,6 +74,15 @@ def _salted(args):
             a = a * factor
             done = True
         out.append(a)
+    if not done:
+        # no float operand to salt: warmup and timed calls would be
+        # bit-identical -- exactly the tunnel cache key this exists to
+        # break.  Loud, because the resulting number can be dishonest.
+        warnings.warn(
+            "benchlib._salted: no floating-point jax.Array operand found; "
+            "repeated identical calls may be served from the tunnel cache "
+            "and time dishonestly.  Add a float operand to the loop args.",
+            stacklevel=3)
     return out
 
 

@@ -70,3 +70,15 @@ def test_predict_classes_regression_head():
     scores = predict_classes(model, data, batch_size=4)
     assert scores.shape == (5,)
     assert scores.dtype == np.float32
+
+
+def test_predict_empty_split_keeps_logit_width():
+    """An empty split must return (0, num_labels) so predict_classes still
+    routes multi-class models to argmax (a (0, 1) fallback would take the
+    single-logit regression branch and emit float scores)."""
+    model = _tiny_model(num_labels=3)
+    data = _data(n=0, seed=3)
+    logits = predict_logits(model, data, batch_size=4)
+    assert logits.shape == (0, 3)
+    preds = predict_classes(model, data, batch_size=4)
+    assert preds.shape == (0,) and preds.dtype != np.float32

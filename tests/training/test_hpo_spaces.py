@@ -96,6 +96,11 @@ def test_reference_method_spaces_and_budgets():
     assert n == 35
     assert space["blk_r"] == ("choice", [1, 2, 4, 8])
     assert space["blk_sz"] == ("choice", [64, 128, 512])
+    # ... but an EXPLICIT --n_trials is exact, even with the NAS dims
+    args.n_trials = 4
+    _, n = run_glue.build_search_space(args, {"blk_r": 8}, train_args)
+    assert n == 4
+    args.n_trials, args.tune_blk_config = None, False
 
     # boft: lr-only, 15 trials by default; an EXPLICIT --n_trials overrides
     # the method budget
