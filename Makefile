@@ -3,11 +3,13 @@
 # multi-epoch trainers / virtual-mesh runs.
 #
 # Measured on the sandbox's single CPU core (2026-08-17, all green):
-#   test-fast  212 passed in 6:16  (cold jit cache; repeats ~1/3 faster --
-#              tests/conftest.py enables a persistent compilation cache)
-#   test-slow   70 passed in 15:48
-# On a normal multi-core box both tiers are several times faster (the
-# suite is jit-compile dominated).
+#   test-fast  214 passed in 4:00
+#   test-slow   75 passed in 5:49
+# (warm persistent jit cache -- tests/conftest.py; cold first runs are
+# slower).  The suite builds each tiny model once per process and hands
+# tests buffer-deep copies (utils/testing.fresh_model): construction is
+# seconds per model on one core, copies are milliseconds.  On a normal
+# multi-core box both tiers are several times faster.
 
 .PHONY: test test-fast test-slow bench
 

@@ -13,6 +13,7 @@ import pytest
 
 from sparse_matrix_fine_tuning_tpu.data.mmlu import (
     ABCD, load_mmlu_items, mmlu_accuracy)
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 _QLORA_VAL = "/root/reference/qlora/data/mmlu/zero_shot_mmlu_val.json"
 
@@ -57,7 +58,7 @@ def test_scoring_runs_on_preformatted_items(tmp_path):
                       num_hidden_layers=2, num_attention_heads=4,
                       num_key_value_heads=2, intermediate_size=128,
                       max_position_embeddings=128)
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     metrics = mmlu_accuracy(model, tok, items, None, k_shot=0,
                             max_length=128, batch_size=4)
     assert 0.0 <= metrics["mmlu_eval_accuracy"] <= 1.0

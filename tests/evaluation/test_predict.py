@@ -16,12 +16,13 @@ from sparse_matrix_fine_tuning_tpu.models import (
     RobertaConfig,
     RobertaForSequenceClassification,
 )
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def _tiny_model(num_labels=3):
     cfg = RobertaConfig.tiny(num_labels=num_labels, hidden_dropout_prob=0.0,
                              attention_probs_dropout_prob=0.0)
-    return RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    return fresh_model(RobertaForSequenceClassification, cfg)
 
 
 def _data(n, L=10, vocab=128, seed=0):

@@ -16,6 +16,7 @@ from sparse_matrix_fine_tuning_tpu.interventions import (
 from sparse_matrix_fine_tuning_tpu.interventions.reft import apply_at_positions
 from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
 from sparse_matrix_fine_tuning_tpu.peft import trainable_filter
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def test_loreft_projects_to_source_in_subspace():
@@ -64,7 +65,7 @@ def test_apply_at_positions_targets_only_listed_tokens():
 
 def test_reft_model_end_to_end_trains():
     cfg = LlamaConfig.tiny()
-    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    base = fresh_model(LlamaForCausalLM, cfg)
     reft = get_reft_model(base, ReftConfig(representations=[
         {"layer": 0, "component": "block_output",
          "intervention": "LoreftIntervention", "low_rank_dimension": 4},
@@ -95,7 +96,7 @@ def test_reft_model_end_to_end_trains():
 
 def test_no_intervention_is_identity():
     cfg = LlamaConfig.tiny()
-    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    base = fresh_model(LlamaForCausalLM, cfg)
     plain = base(jnp.ones((1, 5), jnp.int32))
     reft = get_reft_model(base, ReftConfig(representations=[
         {"layer": 0, "intervention": "Nothing"}]))
@@ -111,7 +112,7 @@ def test_reft_generation_with_prompt_interventions():
         GenerationConfig, generate)
 
     cfg = LlamaConfig.tiny()
-    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    base = fresh_model(LlamaForCausalLM, cfg)
     reft = get_reft_model(base, ReftConfig(representations=[
         {"layer": 0, "intervention": "LoreftIntervention",
          "low_rank_dimension": 4}]), rngs=nnx.Rngs(1))
@@ -137,7 +138,7 @@ def test_reft_eval_pipeline_with_interventions(tmp_path):
 
     tok = SimpleTokenizer(vocab_size=256)
     cfg = LlamaConfig.tiny()
-    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    base = fresh_model(LlamaForCausalLM, cfg)
     reft = get_reft_model(base, ReftConfig(representations=[
         {"layer": 0, "intervention": "LoreftIntervention",
          "low_rank_dimension": 4}]), rngs=nnx.Rngs(1))
@@ -158,7 +159,7 @@ def test_intervention_params_checkpointed(tmp_path):
     from sparse_matrix_fine_tuning_tpu.training import checkpoint as ckpt
 
     cfg = LlamaConfig.tiny()
-    base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    base = fresh_model(LlamaForCausalLM, cfg)
     reft = get_reft_model(base, ReftConfig(representations=[
         {"layer": 0, "intervention": "LoreftIntervention",
          "low_rank_dimension": 4}]), rngs=nnx.Rngs(1))
@@ -181,7 +182,7 @@ def test_component_addressed_hooks():
     """Non-block-output components (pyvene's component map): interventions
     at attention_output / mlp_output / block_input apply inside the layer."""
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, cfg.vocab_size)
     base = np.asarray(model(ids))
     for comp in ("attention_output", "mlp_output", "block_input"):
@@ -198,7 +199,7 @@ def test_untied_interventions_compose_on_one_layer():
     and last-n positions).  Both must fire -- round-2 _hooks overwrote the
     dict entry, silently dropping the first."""
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     reps = [{"layer": 1, "component": "block_output",
              "intervention": "ConsreftIntervention", "low_rank_dimension": 2},
             {"layer": 1, "component": "block_output",
@@ -230,7 +231,7 @@ def test_swap_forward_vanilla_interchange():
     from sparse_matrix_fine_tuning_tpu.interventions.reft import (
         ReftConfig, ReftModel)
     cfg = LlamaConfig.tiny()
-    base_model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    base_model = fresh_model(LlamaForCausalLM, cfg)
     rm = ReftModel(base_model, ReftConfig(representations=[
         {"layer": 0, "component": "block_output",
          "intervention": "VanillaIntervention"}]), rngs=nnx.Rngs(1))
@@ -258,7 +259,7 @@ def test_collect_activations_matches_hidden():
     from sparse_matrix_fine_tuning_tpu.interventions.reft import (
         ReftConfig, ReftModel)
     cfg = LlamaConfig.tiny()
-    base_model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    base_model = fresh_model(LlamaForCausalLM, cfg)
     rm = ReftModel(base_model, ReftConfig(representations=[
         {"layer": 0, "component": "block_output",
          "intervention": "CollectIntervention"}]), rngs=nnx.Rngs(1))
@@ -276,14 +277,14 @@ def test_intervention_save_load_roundtrip(tmp_path):
     cfg = LlamaConfig.tiny()
     reps = [{"layer": 0, "component": "block_output",
              "intervention": "LoreftIntervention", "low_rank_dimension": 4}]
-    rm = ReftModel(LlamaForCausalLM(cfg, rngs=nnx.Rngs(0)),
+    rm = ReftModel(fresh_model(LlamaForCausalLM, cfg),
                    ReftConfig(representations=reps), rngs=nnx.Rngs(1))
     rm.save_interventions(str(tmp_path))
     import os
     assert os.path.exists(os.path.join(str(tmp_path), "interventions.npz"))
     assert os.path.exists(os.path.join(str(tmp_path), "intervenable_config.json"))
 
-    rm2 = ReftModel(LlamaForCausalLM(cfg, rngs=nnx.Rngs(0)),
+    rm2 = ReftModel(fresh_model(LlamaForCausalLM, cfg),
                     ReftConfig(representations=reps), rngs=nnx.Rngs(7))
     before = np.asarray(rm2.interventions[0].rotate[...])
     rm2.load_interventions(str(tmp_path))

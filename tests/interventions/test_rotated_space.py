@@ -15,6 +15,7 @@ from sparse_matrix_fine_tuning_tpu.interventions.reft import (
     RotatedSpaceIntervention,
 )
 from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 D = 16
 
@@ -108,7 +109,7 @@ def test_rotated_space_through_reft_swap_forward():
     """Source->base interchange through the ReftModel engine with a
     RotatedSpace intervention at a block output."""
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     reft = ReftModel(model, ReftConfig(representations=[
         {"layer": 1, "intervention": "RotatedSpaceIntervention"},
     ]), rngs=nnx.Rngs(1))

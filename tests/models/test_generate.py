@@ -8,11 +8,12 @@ from flax import nnx
 
 from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
 from sparse_matrix_fine_tuning_tpu.models.generate import GenerationConfig, generate
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def _model(seed=0, **kw):
     cfg = LlamaConfig.tiny(**kw)
-    return cfg, LlamaForCausalLM(cfg, rngs=nnx.Rngs(seed))
+    return cfg, fresh_model(LlamaForCausalLM, cfg, seed=seed)
 
 
 def _ref_greedy(model, ids, n_new):
@@ -112,7 +113,7 @@ def test_generate_compile_reused_across_batches():
         _compiled_greedy,
     )
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     gc = GenerationConfig(max_new_tokens=3, eos_token_id=None)
     gcb = GenerationConfig(max_new_tokens=3, eos_token_id=None, num_beams=2)
     ids1 = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, cfg.vocab_size)
@@ -136,7 +137,7 @@ def test_generate_early_stopping_all_eos():
     """When every sequence hits EOS the while_loop must exit early and the
     remaining positions stay pad."""
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 3, cfg.vocab_size)
     mask = jnp.ones((2, 6), jnp.int32)
     gc0 = GenerationConfig(max_new_tokens=1, eos_token_id=None)

@@ -21,6 +21,7 @@ from sparse_matrix_fine_tuning_tpu.models import (
     RobertaForSequenceClassification,
 )
 from sparse_matrix_fine_tuning_tpu.models.hf_convert import load_llama, load_roberta
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def test_roberta_matches_hf():
@@ -34,7 +35,7 @@ def test_roberta_matches_hf():
 
     cfg = RobertaConfig.tiny(num_labels=3, hidden_dropout_prob=0.0,
                              attention_probs_dropout_prob=0.0)
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     load_roberta(model, {k: v for k, v in hf_model.state_dict().items()})
     model.eval()
 
@@ -57,7 +58,7 @@ def test_llama_matches_hf():
     hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
 
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     load_llama(model, {k: v for k, v in hf_model.state_dict().items()})
     model.eval()
 
@@ -87,7 +88,7 @@ def test_deberta_matches_hf():
 
     cfg = DebertaV2Config.tiny(num_labels=3, hidden_dropout_prob=0.0,
                                attention_probs_dropout_prob=0.0)
-    model = DebertaV2ForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(DebertaV2ForSequenceClassification, cfg)
     load_deberta(model, {k: v for k, v in hf_model.state_dict().items()})
     model.eval()
 

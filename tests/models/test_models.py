@@ -13,11 +13,12 @@ from sparse_matrix_fine_tuning_tpu.models import (
 )
 from sparse_matrix_fine_tuning_tpu.models.llama import init_caches
 from sparse_matrix_fine_tuning_tpu.models.roberta import create_position_ids
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def test_roberta_forward_and_loss():
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, cfg.vocab_size)
     logits = model(ids)
     assert logits.shape == (2, cfg.num_labels)
@@ -35,7 +36,7 @@ def test_roberta_position_ids():
 def test_roberta_mask_invariance():
     # padded positions must not affect unpadded outputs
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 2, cfg.vocab_size)
     mask = jnp.ones((1, 8), jnp.int32)
     full = model(ids, mask)
@@ -47,7 +48,7 @@ def test_roberta_mask_invariance():
 
 def test_llama_forward_and_loss():
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(2), (2, 12), 0, cfg.vocab_size)
     logits = model(ids)
     assert logits.shape == (2, 12, cfg.vocab_size)
@@ -58,7 +59,7 @@ def test_llama_forward_and_loss():
 
 def test_llama_causality():
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(3), (1, 10), 0, cfg.vocab_size)
     base = model(ids)
     perturbed = ids.at[0, 7].set((ids[0, 7] + 1) % cfg.vocab_size)
@@ -71,7 +72,7 @@ def test_llama_causality():
 
 def test_llama_kv_cache_matches_full_forward():
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     T = 6
     ids = jax.random.randint(jax.random.PRNGKey(4), (1, T), 0, cfg.vocab_size)
     full_logits = model(ids)
@@ -91,7 +92,7 @@ def test_llama_kv_cache_matches_full_forward():
 
 def test_llama_gqa_heads():
     cfg = LlamaConfig.tiny(num_key_value_heads=2, num_attention_heads=4)
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, cfg.vocab_size)
     assert model(ids).shape == (2, 8, cfg.vocab_size)
 
@@ -102,7 +103,7 @@ def test_roberta_dropout_follows_train_eval_mode():
     deterministic -- governed by nnx.train()/eval(), not a hardcoded
     deterministic=True default (round-1 regression)."""
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 2, cfg.vocab_size)
 
     model.train()

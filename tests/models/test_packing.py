@@ -15,6 +15,7 @@ from sparse_matrix_fine_tuning_tpu.data.alpaca import pack_causal_lm
 from sparse_matrix_fine_tuning_tpu.data.reasoning import IGNORE_INDEX
 from sparse_matrix_fine_tuning_tpu.data.tokenizer import SimpleTokenizer
 from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 @pytest.fixture(scope="module")
@@ -23,7 +24,7 @@ def model():
                            num_hidden_layers=2, num_attention_heads=4,
                            num_key_value_heads=2, intermediate_size=128,
                            max_position_embeddings=64)
-    return cfg, LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    return cfg, fresh_model(LlamaForCausalLM, cfg)
 
 
 def test_packed_forward_matches_individual(model):
@@ -134,7 +135,7 @@ def test_packed_step_on_virtual_mesh(tmp_path):
                            num_hidden_layers=2, num_attention_heads=4,
                            num_key_value_heads=2, intermediate_size=128,
                            max_position_embeddings=32)
-    m = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    m = fresh_model(LlamaForCausalLM, cfg)
     init_monarch(m, {"monarch": True, "nblocks": 4, "blk_r": 4,
                      "adapter": True, "target_modules": ["q_proj", "v_proj"]},
                  rngs=nnx.Rngs(1))
@@ -171,7 +172,7 @@ def test_packed_training_learns(tmp_path):
                            num_hidden_layers=2, num_attention_heads=4,
                            num_key_value_heads=2, intermediate_size=128,
                            max_position_embeddings=64)
-    m = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    m = fresh_model(LlamaForCausalLM, cfg)
     init_monarch(m, {"monarch": True, "nblocks": 4, "blk_r": 4,
                      "adapter": True, "target_modules": ["q_proj", "v_proj"]},
                  rngs=nnx.Rngs(1))

@@ -25,6 +25,7 @@ from sparse_matrix_fine_tuning_tpu.models import (
     RobertaForSequenceClassification,
 )
 from sparse_matrix_fine_tuning_tpu.models.hf_convert import load_roberta
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 LR, WD, BETAS, EPS = 1e-3, 0.01, (0.9, 0.999), 1e-8
 STEPS = 5
@@ -41,7 +42,7 @@ def test_full_finetune_adamw_loss_trajectory_matches_torch():
 
     cfg = RobertaConfig.tiny(num_labels=3, hidden_dropout_prob=0.0,
                              attention_probs_dropout_prob=0.0)
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     load_roberta(model, {k: v for k, v in hf_model.state_dict().items()})
 
     rng = np.random.default_rng(0)

@@ -20,6 +20,7 @@ from sparse_matrix_fine_tuning_tpu.peft import init_monarch
 from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
 
 import jax.numpy as jnp
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def test_tp_param_spec_rules():
@@ -95,7 +96,7 @@ def _flagship(vocab=128, hidden=256, layers=2, heads=4, inter=512):
         num_attention_heads=heads, num_key_value_heads=heads // 2,
         intermediate_size=inter, max_position_embeddings=64,
     )
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     init_monarch(model, {
         "monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
         "target_modules": ["q_proj", "v_proj", "k_proj", "o_proj",

@@ -11,6 +11,7 @@ from sparse_matrix_fine_tuning_tpu.models import (
 )
 from sparse_matrix_fine_tuning_tpu.peft import trainable_filter
 from sparse_matrix_fine_tuning_tpu.peft.boft import BOFTLinear, cayley, init_boft
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 BOFT_CFG = {"boft_block_size": 8, "boft_block_num": 0,
             "boft_n_butterfly_factor": 2, "boft_dropout": 0.0,
@@ -48,7 +49,7 @@ def test_rotation_preserves_norm():
 
 def test_boft_surgery_and_training():
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(6), (2, 10), 0, cfg.vocab_size)
     before = model(ids)
     adapted = init_boft(model, BOFT_CFG, rngs=nnx.Rngs(1))

@@ -21,6 +21,7 @@ from sparse_matrix_fine_tuning_tpu.peft import (
     unmerge_all_adapters,
 )
 from sparse_matrix_fine_tuning_tpu.peft.surgery import split_trainable
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 ROBERTA_PEFT = {"monarch": True, "nblocks": 4, "blk_r": 4, "blk_sz": None,
                 "adapter": True, "target_modules": ["query", "value", "key"]}
@@ -31,7 +32,7 @@ LLAMA_PEFT = {"monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
 
 def test_roberta_surgery_preserves_forward():
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, cfg.vocab_size)
     before = model(ids)
     adapted = init_monarch(model, ROBERTA_PEFT, rngs=nnx.Rngs(1))
@@ -44,7 +45,7 @@ def test_roberta_surgery_preserves_forward():
 
 def test_llama_surgery_counts():
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     adapted = init_monarch(model, LLAMA_PEFT, rngs=nnx.Rngs(1))
     assert len(adapted) == 7 * cfg.num_hidden_layers
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
@@ -53,7 +54,7 @@ def test_llama_surgery_counts():
 
 def test_trainable_split_excludes_base():
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(model, ROBERTA_PEFT, rngs=nnx.Rngs(1))
     _, trainable, frozen = split_trainable(model)
     t_paths = {"/".join(map(str, p)) for p, _ in trainable.flat_state()}
@@ -69,7 +70,7 @@ def test_trainable_split_excludes_base():
 
 def test_merge_all_roundtrip():
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(model, ROBERTA_PEFT, rngs=nnx.Rngs(1))
     # give the adapters some signal
     for _, _, child in list(
@@ -91,7 +92,7 @@ def test_merge_all_roundtrip():
 
 def test_find_all_linear_names():
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     names = find_all_linear_names(model)
     assert set(names) == {"q_proj", "k_proj", "v_proj", "o_proj",
                           "gate_proj", "up_proj", "down_proj"}
@@ -99,7 +100,7 @@ def test_find_all_linear_names():
 
 def test_init_lora():
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, cfg.vocab_size)
     before = model(ids)
     adapted = init_lora(model, {"target_modules": ["query", "value"], "r": 4},

@@ -15,6 +15,7 @@ from sparse_matrix_fine_tuning_tpu.quant import (
     quantize_int4,
     quantize_int8,
 )
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def test_int8_roundtrip():
@@ -68,7 +69,7 @@ def test_quantized_layer_int4_odd_infeatures():
 
 def test_quantized_model_trains():
     cfg = LlamaConfig.tiny()
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(LlamaForCausalLM, cfg)
     init_monarch(model, {"monarch": True, "nblocks": 4, "blk_r": 4,
                          "adapter": True,
                          "target_modules": ["q_proj", "v_proj", "up_proj"]},

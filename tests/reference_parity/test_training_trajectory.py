@@ -40,6 +40,7 @@ from sparse_matrix_fine_tuning_tpu.peft.surgery import (
     init_monarch,
     trainable_filter,
 )
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 LR, WD, BETAS, EPS = 2e-3, 0.01, (0.9, 0.999), 1e-8
 STEPS = 6
@@ -62,7 +63,7 @@ def test_monarch_adapter_training_trajectory_matches_reference(ref, ref_train_ut
 
     cfg = RobertaConfig.tiny(num_labels=3, hidden_dropout_prob=0.0,
                              attention_probs_dropout_prob=0.0)
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     load_roberta(model, {k: v for k, v in hf_model.state_dict().items()})
 
     # --- surgery: the reference's own init_monarch vs ours

@@ -13,6 +13,7 @@ from sparse_matrix_fine_tuning_tpu.training.adam8bit import (
     adamw8bit,
     scale_by_adam8bit,
 )
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def _quadratic_params(seed=0):
@@ -88,7 +89,7 @@ def test_trainer_integration_loss_decreases(tmp_path):
     from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
 
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(model, {"monarch": True, "nblocks": 4, "blk_r": 4,
                          "adapter": True,
                          "target_modules": ["query", "value"]},

@@ -26,6 +26,7 @@ from sparse_matrix_fine_tuning_tpu.utils.metrics import (
     pearson_corr,
     spearman_corr,
 )
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 
 def test_param_group_labels():
@@ -168,7 +169,7 @@ def test_sharded_base_actually_sharded(tmp_path):
     # hidden 256 so the dense weights (256x256 = 64k elements) cross the
     # replicate-below-this-size threshold in param_spec
     cfg = RobertaConfig.tiny(hidden_size=256, intermediate_size=512)
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(model, {"monarch": True, "nblocks": 4, "blk_r": 4,
                          "adapter": True, "target_modules": ["query", "value"]},
                  rngs=nnx.Rngs(1))

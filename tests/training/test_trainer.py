@@ -16,6 +16,7 @@ from sparse_matrix_fine_tuning_tpu.models import (
 from sparse_matrix_fine_tuning_tpu.parallel import make_mesh
 from sparse_matrix_fine_tuning_tpu.peft import init_monarch
 from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
 
 PEFT = {"monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
         "target_modules": ["query", "value", "key"]}
@@ -32,7 +33,7 @@ def _synthetic_task(cfg, n=64, seq=12, seed=0):
 
 def _make(tmp_path, mesh=None, **args_kw):
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(model, PEFT, rngs=nnx.Rngs(1))
     data = _synthetic_task(cfg)
     kw = dict(output_dir=str(tmp_path), learning_rate=5e-3, num_train_epochs=3,
@@ -107,7 +108,7 @@ def test_group_by_length_training_matches_ungrouped(tmp_path):
     data = _ragged_task(cfg)
 
     def run(group):
-        model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+        model = fresh_model(RobertaForSequenceClassification, cfg)
         init_monarch(model, PEFT, rngs=nnx.Rngs(1))
         args = TrainingArgs(output_dir=str(tmp_path / str(group)),
                             learning_rate=5e-3, num_train_epochs=3,
@@ -160,7 +161,7 @@ def test_state_split_step_respects_train_mode_dropout(tmp_path):
     data = _synthetic_task(cfg)
 
     def one_loss(seed_stream):
-        model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+        model = fresh_model(RobertaForSequenceClassification, cfg)
         init_monarch(model, PEFT, rngs=nnx.Rngs(1))
         args = TrainingArgs(output_dir=str(tmp_path), learning_rate=0.0,
                             num_train_epochs=1, per_device_train_batch_size=16,
@@ -232,7 +233,7 @@ def test_eval_loss_invariant_to_eval_batch_size(tmp_path):
     n=61 examples with batch sizes 16 and 32 produce different padding; a
     contaminated mean would differ between the two."""
     cfg = RobertaConfig.tiny()
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(model, PEFT, rngs=nnx.Rngs(1))
     data = _synthetic_task(cfg, n=61, seed=3)
     losses = []
@@ -260,7 +261,7 @@ def test_checkpoint_keys_are_paths_and_mismatch_fails(tmp_path):
 
     # a SUBSET model (fewer adapted modules) restores cleanly by name ...
     cfg = RobertaConfig.tiny()
-    sub = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    sub = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(sub, dict(PEFT, target_modules=["query"]), rngs=nnx.Rngs(1))
     args = TrainingArgs(output_dir=str(tmp_path), logging_steps=0, log_param_steps=0)
     t2 = Trainer(sub, args, eval_data=_synthetic_task(cfg, n=8))
@@ -268,7 +269,7 @@ def test_checkpoint_keys_are_paths_and_mismatch_fails(tmp_path):
     got = np.asarray(jax.tree.leaves(
         nnx.state(sub, t2.filt))[0])
     # ... but a SHAPE mismatch at the same path fails loudly
-    other = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    other = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(other, dict(PEFT, blk_r=8), rngs=nnx.Rngs(1))
     t3 = Trainer(other, args, eval_data=_synthetic_task(cfg, n=8))
     with pytest.raises((KeyError, AssertionError)):
@@ -315,7 +316,7 @@ def test_merged_training_matches_unmerged(tmp_path):
     for mode in ("off", "auto"):
         cfg = RobertaConfig.tiny(hidden_dropout_prob=0.0,
                                  attention_probs_dropout_prob=0.0)
-        model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+        model = fresh_model(RobertaForSequenceClassification, cfg)
         init_monarch(model, PEFT, rngs=nnx.Rngs(1))
         data = _synthetic_task(cfg)
         args = TrainingArgs(
@@ -403,7 +404,7 @@ def test_eval_only_trainer_can_save_checkpoint(tmp_path):
     cfg = RobertaConfig(vocab_size=128, hidden_size=32, num_hidden_layers=1,
                         num_attention_heads=2, intermediate_size=64,
                         max_position_embeddings=66, num_labels=2)
-    model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(0))
+    model = fresh_model(RobertaForSequenceClassification, cfg)
     init_monarch(model, PEFT, rngs=nnx.Rngs(1))
     data = _synthetic_task(cfg, n=8, seed=0)
     args = TrainingArgs(output_dir=str(tmp_path), logging_steps=0,
