@@ -39,7 +39,35 @@ import numpy as np
 from sparse_matrix_fine_tuning_tpu.utils.benchlib import slope_time
 
 
+def _require_responsive_chip(timeout_s: float = 300.0):
+    """Fail fast (exit 1) if the backend cannot run a trivial matmul.
+
+    The tunnelled chip can wedge in a way where every dispatch blocks
+    forever; without this probe the whole bench hangs until the driver's
+    own timeout and records nothing actionable.  The probe runs in a
+    daemon thread so a hung dispatch cannot block interpreter exit.
+    """
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        x = jnp.ones((256, 256), jnp.bfloat16)
+        (x @ x).block_until_ready()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not ok.wait(timeout_s):
+        print(f"bench: backend unresponsive -- a 256x256 matmul did not "
+              f"complete within {timeout_s:.0f}s (wedged tunnel?); "
+              f"aborting instead of hanging", file=sys.stderr)
+        os._exit(1)
+
+
 def main():
+    _require_responsive_chip()
     from sparse_matrix_fine_tuning_tpu.kernels.merged import (
         build_merged_operands, merged_apply)
     from sparse_matrix_fine_tuning_tpu.ops.monarch import (
