@@ -3,13 +3,13 @@
 # multi-epoch trainers / virtual-mesh runs.
 #
 # Measured on the sandbox's single CPU core (2026-08-17, all green):
-#   test-fast  214 passed in 4:00
-#   test-slow   75 passed in 5:49
-# (warm persistent jit cache -- tests/conftest.py; cold first runs are
-# slower).  The suite builds each tiny model once per process and hands
-# tests buffer-deep copies (utils/testing.fresh_model): construction is
-# seconds per model on one core, copies are milliseconds.  On a normal
-# multi-core box both tiers are several times faster.
+#   test-fast  214 passed in 1:33  (3:36 with a cold jit cache)
+#   test-slow   75 passed in 5:19  (6:06 cold)
+# tests/conftest.py persists EVERY jit compile to a shared disk cache
+# (min_compile_time 0), and the suite builds each tiny model once per
+# process, handing tests buffer-deep copies (utils/testing.fresh_model):
+# construction is seconds per model on one core, copies are milliseconds.
+# On a normal multi-core box both tiers are several times faster.
 
 .PHONY: test test-fast test-slow bench
 

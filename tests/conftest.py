@@ -27,15 +27,18 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the suite is jit-compile dominated (flat
 # ~2-5 s/test profile); cached executables make repeat runs mostly
 # compile-free.  Safe to share across processes; keyed on HLO + config.
+# min_compile_time 0: the suite compiles hundreds of SMALL jitted fns
+# (0.1-0.5 s each) that the 0.5 s default never cached -- persisting them
+# cuts the warm fast tier from ~4:00 to ~1:33 on one core.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_TEST_CACHE_DIR",
                                  "/tmp/sparse_matrix_fine_tuning_tpu_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 # ---------------------------------------------------------------------------
-# Fast/slow tiers: `pytest -m "not slow"` is the quick gate (~4 min on
-# this sandbox's single CPU core, several times faster multi-core);
+# Fast/slow tiers: `pytest -m "not slow"` is the quick gate (~1:30 warm /
+# ~3:30 cold on this sandbox's single CPU core, faster multi-core);
 # `make test` runs everything.  Patterns below cover every test measured
 # >= ~10 s in the full-suite duration profile (harness smokes, multi-epoch
 # trainers, virtual-mesh runs, generation/packing, torch-parity model runs).
