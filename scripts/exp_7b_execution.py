@@ -63,6 +63,7 @@ def run_one(layers: int, hidden: int, inter: int,
                       param_dtype="bfloat16", dtype="bfloat16", remat=True,
                       max_position_embeddings=T)
     t0 = time.time()
+    total = None  # set after a successful build; None in init-failure records
 
     def build():
         model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
@@ -73,43 +74,47 @@ def run_one(layers: int, hidden: int, inter: int,
             rngs=nnx.Rngs(1))
         return model, quantize_frozen_base(model, bits=4)
 
-    if quant_host:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            model, nq = build()
-        tpu = jax.devices()[0]
-        state = jax.device_put(nnx.state(model), tpu)
-        nnx.update(model, state)
-        print(f"host-quantized; packed state shipped to {tpu}", flush=True)
-    else:
-        model, nq = build()
-    total, _ = param_stats(model, extra_paths=(), verbose=False)
-    print(f"[{layers}L x {hidden}h/{inter}i] ~{total/1e9:.2f}B params, "
-          f"{nq} int4 matrices, setup {time.time()-t0:.0f}s", flush=True)
-
-    filt = trainable_filter(extra_paths=())
-    opt = nnx.Optimizer(model, optax.adamw(5.4e-4), wrt=filt)
-    ids = jnp.asarray(np.random.default_rng(0).integers(
-        2, cfg.vocab_size, (BT, T)))
-
-    static_f = nnx.Any(nnx.All(nnx.Param, nnx.Not(filt)),
-                       nnx.OfType(QuantScales))
-    graphdef, static_state, rest = nnx.split((model, opt), static_f, ...)
-
-    @partial(jax.jit, donate_argnums=(1,))
-    def step(static_state, rest, ids):
-        model, opt = nnx.merge(graphdef, static_state, rest)
-
-        def loss(mm, ids):
-            return mm.loss(mm(ids), ids)
-
-        val, grads = nnx.value_and_grad(
-            loss, argnums=nnx.DiffState(0, filt))(model, ids)
-        opt.update(model, grads)
-        _, _, new_rest = nnx.split((model, opt), static_f, ...)
-        return val, new_rest
-
+    # the try covers init too: the device-side bf16 init transient is one
+    # of the failure modes this experiment exists to diagnose, so an
+    # init-time ResourceExhausted must produce the same structured record
+    # (executed=False, oom=True, rc 42) as a step-time one
     try:
+        if quant_host:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                model, nq = build()
+            tpu = jax.devices()[0]
+            state = jax.device_put(nnx.state(model), tpu)
+            nnx.update(model, state)
+            print(f"host-quantized; packed state shipped to {tpu}", flush=True)
+        else:
+            model, nq = build()
+        total, _ = param_stats(model, extra_paths=(), verbose=False)
+        print(f"[{layers}L x {hidden}h/{inter}i] ~{total/1e9:.2f}B params, "
+              f"{nq} int4 matrices, setup {time.time()-t0:.0f}s", flush=True)
+
+        filt = trainable_filter(extra_paths=())
+        opt = nnx.Optimizer(model, optax.adamw(5.4e-4), wrt=filt)
+        ids = jnp.asarray(np.random.default_rng(0).integers(
+            2, cfg.vocab_size, (BT, T)))
+
+        static_f = nnx.Any(nnx.All(nnx.Param, nnx.Not(filt)),
+                           nnx.OfType(QuantScales))
+        graphdef, static_state, rest = nnx.split((model, opt), static_f, ...)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(static_state, rest, ids):
+            model, opt = nnx.merge(graphdef, static_state, rest)
+
+            def loss(mm, ids):
+                return mm.loss(mm(ids), ids)
+
+            val, grads = nnx.value_and_grad(
+                loss, argnums=nnx.DiffState(0, filt))(model, ids)
+            opt.update(model, grads)
+            _, _, new_rest = nnx.split((model, opt), static_f, ...)
+            return val, new_rest
+
         losses, times = [], []
         for i in range(4):
             t0 = time.time()
@@ -134,7 +139,8 @@ def run_one(layers: int, hidden: int, inter: int,
         print(json.dumps({
             "layers": layers, "hidden": hidden, "inter": inter,
             "quant_host": quant_host,
-            "params_b": round(total / 1e9, 2), "executed": False,
+            "params_b": round(total / 1e9, 2) if total else None,
+            "executed": False,
             "error": name, "oom": oom,
             "detail": str(e).split("\n")[0][:300],
         }), flush=True)
@@ -148,23 +154,34 @@ def drive():
     results = {}
 
     def attempt(layers, hidden, inter, label):
+        """True = executed, False = OOM (rc 42).  A non-OOM error (rc 1:
+        remote-compile flake etc.) is retried once -- it must not shrink
+        the capacity boundary search as if it were an OOM -- and if it
+        persists it is recorded as an error and treated as a failure,
+        flagged distinctly in the JSONL."""
         key = (layers, hidden, inter)
         if key in results:
             return results[key]
         print(f"=== {label}: {layers}L x {hidden}h/{inter}i ===", flush=True)
         env = dict(os.environ, LAYERS=str(layers), HIDDEN=str(hidden),
                    INTER=str(inter))
-        p = subprocess.run([sys.executable, "-u", __file__], env=env,
-                           capture_output=True, text=True, timeout=1500)
-        sys.stdout.write(p.stdout)
+        for retry in range(2):
+            p = subprocess.run([sys.executable, "-u", __file__], env=env,
+                               capture_output=True, text=True, timeout=1500)
+            sys.stdout.write(p.stdout)
+            if p.returncode in (0, 42):
+                break
+            sys.stdout.write(p.stderr[-2000:])
+            if retry == 0:
+                print(f"non-OOM rc={p.returncode}; retrying once "
+                      "(transient?)", flush=True)
         ok = p.returncode == 0
         rec = {"label": label, "layers": layers, "hidden": hidden,
-               "inter": inter, "executed": ok, "rc": p.returncode}
+               "inter": inter, "executed": ok, "rc": p.returncode,
+               "non_oom_error": p.returncode not in (0, 42)}
         for line in p.stdout.splitlines():
             if line.startswith("{"):
                 rec.update(json.loads(line))
-        if p.returncode not in (0, 42):
-            sys.stdout.write(p.stderr[-2000:])
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         results[key] = ok
