@@ -129,3 +129,57 @@ for name, fn, args in (
     t = statistics.median(time_fn(fn, args, iters=512, chain_argnum=0)
                           for _ in range(3))
     print(f"{name} decode dot ({OUT}x{IN} b{DB}): {t*1e6:7.1f} us")
+
+
+# ---- composition: quantized frozen base -> fused monarch_add.  The layer's
+# TPU hot path chains two custom VJPs (int4_matmul's dense output feeds
+# monarch_add); neither the CPU suite (gates require backend=='tpu') nor
+# the per-kernel sections above exercise them together.
+from flax import nnx
+from sparse_matrix_fine_tuning_tpu.layers import MonarchLinear
+from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
+from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import monarch_add
+from sparse_matrix_fine_tuning_tpu.ops import blockdiag_butterfly_multiply as bbm
+
+INq = OUTq = 2048
+Bq = 2048  # b*(in+out) = 1<<23: clears the auto fuse-gate's 1<<22 floor
+wq_dense = jax.random.normal(jax.random.PRNGKey(7), (OUTq, INq)) * 0.05
+lay = MonarchLinear(INq, OUTq, weights=wq_dense, dtype=jnp.bfloat16,
+                    rngs=nnx.Rngs(0))
+lay.blkdiag2.set_value(jax.random.normal(
+    jax.random.PRNGKey(9), lay.blkdiag2[...].shape) * 0.1)
+quantize_frozen_base(lay, bits=4, group_size=64)
+xl = jax.random.normal(jax.random.PRNGKey(10), (Bq, INq), jnp.bfloat16)
+assert lay._can_fuse_add(xl), "fuse gate must co-activate for this check"
+assert int4_matmul_supported(xl.shape, lay.dense[...].shape,
+                             lay.quant_group, xl.dtype.itemsize), \
+    "int4 kernel gate must co-activate for this check"
+
+gd_l, st_l = nnx.split(lay)
+y_lay = jax.jit(lambda st, x: nnx.merge(gd_l, st)(x))(st_l, xl)
+wdq = dequantize_int4(lay.dense[...], lay.dense_scales[...],
+                      lay.quant_group, jnp.bfloat16)
+w1q = lay.blkdiag1[...].astype(jnp.bfloat16)
+w2q = lay.blkdiag2[...].astype(jnp.bfloat16)
+y_comp_ref = jax.jit(lambda x: (x @ wdq.T) + bbm(x, w1q, w2q))(xl)
+print(f"int4+fused-add layer fwd max|layer-oracle| = "
+      f"{float(jnp.abs(f32(y_lay) - f32(y_comp_ref)).max()):.5f} "
+      f"(out scale {float(jnp.abs(f32(y_comp_ref)).max()):.3f})")
+
+pk_l, sc_l, g_l = lay.dense[...], lay.dense_scales[...], lay.quant_group
+
+def comp_loss(x, w1, w2):
+    base = int4_matmul(x, pk_l, sc_l, g_l)
+    return jnp.sum(f32(monarch_add(base, x, w1, w2)) ** 2)
+
+def comp_oracle(x, w1, w2):
+    base = jax.lax.dot_general(
+        x, wdq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.sum(f32(base + bbm(x, w1, w2)) ** 2)
+
+gc = jax.jit(jax.grad(comp_loss, argnums=(0, 1, 2)))(xl, w1q, w2q)
+go = jax.jit(jax.grad(comp_oracle, argnums=(0, 1, 2)))(xl, w1q, w2q)
+for nm, a, b in zip(("comp dx", "comp dw1", "comp dw2"), gc, go):
+    print(f"{nm}: max diff {float(jnp.abs(f32(a)-f32(b)).max()):.4f} "
+          f"vs scale {float(jnp.abs(f32(b)).max()):.4f}")

@@ -50,18 +50,19 @@ Array = jax.Array
 
 
 def _pick_tiles(b: int, in_f: int, rows: int, out_f: int,
-                cell_bytes: int, xb: int):
-    """Shared (row tile, out-column tile) picker for both quant kernels,
-    or None if no tiling fits this device's VMEM (callers fall back to the
-    XLA path; also None on untuned TPU generations).
+                cell_bytes: int, xb: int, bwd: bool):
+    """(row tile, out-column tile) picker for both quant kernels, or None
+    if no tiling fits this device's VMEM (callers fall back to the XLA
+    path; also None on untuned TPU generations).
 
-    Per-grid-step VMEM: x block (tb, in) in the activation dtype (``xb``
-    bytes/elem) double-buffered, the packed operand + its dequant temps at
-    ``cell_bytes`` per (row, col) over (rows, to), the (tb, to) f32
-    accumulator, and the backward's resident (tb, in) f32 dx block (the
-    same picker serves both directions).  Wide 7B-class in_features
-    (11008) need small row tiles: prefer wide out-column tiles first
-    (amortise the per-chunk dequant), then shrink rows."""
+    Charged per grid step, per direction.  Forward: the (tb, in) x block
+    in the activation dtype (``xb`` bytes/elem) double-buffered, the
+    packed operand + its dequant temps at ``cell_bytes`` per (row, col)
+    over (rows, to), and the (tb, to) f32 accumulator + output block.
+    Backward: the (tb, to) dy block double-buffered, the same dequant
+    temps, and the resident (tb, in) f32 dx accumulator.  Wide 7B-class
+    in_features (11008) need small row tiles: prefer wide out-column
+    tiles first (amortise the per-chunk dequant), then shrink rows."""
     budgets = _vmem_budgets_or_none()
     if budgets is None:
         return None
@@ -72,19 +73,26 @@ def _pick_tiles(b: int, in_f: int, rows: int, out_f: int,
         for to in (512, 384, 256, 128):
             if out_f % to:
                 continue
-            need = (2 * xb * tb * in_f       # x blocks, double-buffered
-                    + rows * to * cell_bytes
-                    + 4 * tb * to            # f32 accumulator
-                    + 4 * tb * in_f)         # bwd f32 dx block (resident)
+            weight_side = rows * to * cell_bytes
+            if bwd:
+                need = (2 * xb * tb * to     # dy blocks, double-buffered
+                        + weight_side
+                        + 4 * tb * in_f)     # f32 dx block (resident)
+            else:
+                need = (2 * xb * tb * in_f   # x blocks, double-buffered
+                        + weight_side
+                        + (4 + xb) * tb * to)  # f32 accumulator + out block
             if need <= budget:
                 return tb, to
     return None
 
 
-def _pick_fwd_tiles(b: int, in_f: int, h: int, out_f: int, xb: int = 2):
+def _pick_fwd_tiles(b: int, in_f: int, h: int, out_f: int, xb: int = 2,
+                    bwd: bool = False):
     """int4 tiles: packed (h, to) uint8 x2 buffers, plus the int32 nibble
     temp + f32 scale broadcast + activation-dtype dequant per cell."""
-    return _pick_tiles(b, in_f, h, out_f, cell_bytes=2 + 4 + 4 + xb, xb=xb)
+    return _pick_tiles(b, in_f, h, out_f, cell_bytes=2 + 4 + 4 + xb, xb=xb,
+                       bwd=bwd)
 
 
 def _unpack_scaled(p, s_ref, g: int, nibble: str, dtype):
@@ -174,8 +182,26 @@ def _bwd_call(dy2d, packed_t, slo, shi, g, interpret):
     b, out_f = dy2d.shape
     h, _ = packed_t.shape
     in_f = 2 * h
-    tiles = _pick_fwd_tiles(b, in_f, h, out_f, dy2d.dtype.itemsize)
-    assert tiles is not None, "gate with int4_matmul_supported first"
+    tiles = _pick_fwd_tiles(b, in_f, h, out_f, dy2d.dtype.itemsize, bwd=True)
+    if tiles is None:
+        # Defensive: with today's charge formulas a forward plan strictly
+        # implies a backward plan (cotangents always carry the forward
+        # output's shape/dtype, and fwd_need > bwd_need at every candidate
+        # tile), but the *_supported gates only certify the forward -- if
+        # the per-direction charges ever diverge the backward must fall
+        # back to exact XLA math rather than crash at trace time
+        # (materialises the dequant in HBM, correct but slower).
+        from sparse_matrix_fine_tuning_tpu.quant import (  # lazy: no cycle
+            dequantize_int4_halves)
+        lo, hi = dequantize_int4_halves(
+            packed_t, jnp.concatenate([slo, shi], 0), g, dy2d.dtype)
+        contract = (((1,), (1,)), ((), ()))
+        dx = jnp.concatenate(
+            [jax.lax.dot_general(dy2d, lo, contract,
+                                 preferred_element_type=jnp.float32),
+             jax.lax.dot_general(dy2d, hi, contract,
+                                 preferred_element_type=jnp.float32)], -1)
+        return dx.astype(dy2d.dtype)
     tb, to = tiles
     grid = (pl.cdiv(b, tb), out_f // to)  # k (out chunks) innermost
     ns2 = slo.shape[0]
@@ -220,13 +246,18 @@ def _int4_matmul_vjp(g: int, interpret: bool):
 def int4_matmul_supported(x_shape, packed_t_shape, group: int,
                           itemsize: int = 2) -> bool:
     """Shapes the kernel handles: lane dims multiples of 128, the packed
-    sublane (in/2) a multiple of the int8 tile (32) and of the group, and
-    a tile plan that fits this device's VMEM at the activation dtype's
-    ``itemsize`` (False on untuned TPU generations -- callers fall back to
-    the XLA split-dot path)."""
+    sublane (in/2) a multiple of the group, and a tile plan that fits this
+    device's VMEM at the activation dtype's ``itemsize`` (False on untuned
+    TPU generations -- callers fall back to the XLA split-dot path).
+
+    ``h`` itself must be a multiple of 128: the kernels slice the x/dx
+    lane dimension at offset ``h`` (``x_ref[:, h:]``), and Mosaic cannot
+    legalize a lane-dim slice at a non-tile-aligned offset (every
+    on-chip-validated shape has h % 128 == 0; interpret mode would accept
+    the others and then fail on real hardware)."""
     in_f = x_shape[-1]
     h, out_f = packed_t_shape
-    if 2 * h != in_f or out_f % 128 or h % 32 or h % group:
+    if 2 * h != in_f or out_f % 128 or h % 128 or h % group:
         return False
     ns = in_f // group
     if ns % 2:
@@ -281,10 +312,12 @@ def _bwd8_kernel(dy_ref, q_ref, s_ref, dx_ref):
         preferred_element_type=jnp.float32)
 
 
-def _pick8_tiles(b: int, in_f: int, out_f: int, xb: int = 2):
+def _pick8_tiles(b: int, in_f: int, out_f: int, xb: int = 2,
+                 bwd: bool = False):
     """int8 tiles: q (in, to) int8 x2 buffers, plus the f32 widening +
     activation-dtype dequant per cell."""
-    return _pick_tiles(b, in_f, in_f, out_f, cell_bytes=2 + 4 + xb, xb=xb)
+    return _pick_tiles(b, in_f, in_f, out_f, cell_bytes=2 + 4 + xb, xb=xb,
+                       bwd=bwd)
 
 
 @functools.lru_cache(maxsize=2)
@@ -324,8 +357,15 @@ def _int8_matmul_vjp(interpret: bool):
         in_f, out_f = q_t.shape
         dy2d = dout.reshape(-1, out_f)
         b = dy2d.shape[0]
-        tiles = _pick8_tiles(b, in_f, out_f, dy2d.dtype.itemsize)
-        assert tiles is not None, "gate with int8_matmul_supported first"
+        tiles = _pick8_tiles(b, in_f, out_f, dy2d.dtype.itemsize, bwd=True)
+        if tiles is None:  # defensive exact-XLA fallback (see _bwd_call)
+            w = (q_t.astype(jnp.float32) * scales).astype(dy2d.dtype)
+            dx = jax.lax.dot_general(
+                dy2d, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dout.dtype)
+            return (dx.reshape(x_shape),
+                    np.zeros(q_t.shape, jax.dtypes.float0),
+                    jnp.zeros_like(scales))
         tb, to = tiles
         dx = pl.pallas_call(
             _bwd8_kernel,

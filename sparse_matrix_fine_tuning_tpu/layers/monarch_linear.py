@@ -360,29 +360,25 @@ class MonarchLinear(nnx.Module):
             # kernel's traffic -- kernels/quant_matmul.py).
             from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import (
                 int4_matmul, int4_matmul_supported)
-            from sparse_matrix_fine_tuning_tpu.quant import unpack_int4
+            from sparse_matrix_fine_tuning_tpu.quant import (
+                dequantize_int4_halves)
             scales = self.dense_scales[...]
-            h, out_f = w.shape
+            h, _ = w.shape
             g = self.quant_group
-            ns = scales.shape[0]
             xq = x.astype(compute)
             if (jax.default_backend() == "tpu"
                     and int4_matmul_supported(x.shape, w.shape, g,
                                               xq.dtype.itemsize)):
                 out = int4_matmul(xq, w, scales, g).astype(x.dtype)
             else:
-                def half_dot(xh, qt, st):  # qt (h, out), st (ns/2, out)
-                    sb = jnp.broadcast_to(
-                        st[:, None, :], (ns // 2, g, out_f)).reshape(h, out_f)
-                    wd = (qt.astype(jnp.float32) * sb).astype(compute)
+                def half_dot(xh, wd):  # wd (h, out) dequantized
                     return jax.lax.dot_general(
                         xh, wd,
                         dimension_numbers=(((xh.ndim - 1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
 
-                lo, hi = unpack_int4(w)
-                out = (half_dot(xq[..., :h], lo, scales[: ns // 2])
-                       + half_dot(xq[..., h:], hi, scales[ns // 2:])
+                lo, hi = dequantize_int4_halves(w, scales, g, compute)
+                out = (half_dot(xq[..., :h], lo) + half_dot(xq[..., h:], hi)
                        ).astype(x.dtype)
             if self.use_mult_factor:
                 out = blockdiag_multiply(

@@ -19,7 +19,7 @@ matrix in HBM (measured 6.5x slower at decode shapes); with halves the
 matmul splits into two dots ``y = x_lo @ W_lo + x_hi @ W_hi``.  The
 IN-MAJOR orientation makes the grouped scale broadcast a leading-axis
 reshape -- XLA-neutral (measured equal to out-major) but required by the
-fused Pallas dequant-matmul (kernels/int4_matmul.py), which keeps the
+fused Pallas dequant-matmul (kernels/quant_matmul.py), which keeps the
 dequantized matrix VMEM-resident so HBM traffic is the packed bytes only
 (the XLA paths all materialize the bf16 dequant: ~40 us for a
 (5632, 2048) batch-4 dot whose packed bytes stream in ~7 us).
@@ -89,19 +89,32 @@ def unpack_int4(packed_t):
     return lo, hi
 
 
-def dequantize_int4(packed_t, scales, group_size: int = 64, dtype=jnp.float32):
-    """Reconstruct W (out, in) from the in-major layout."""
+def dequantize_int4_halves(packed_t, scales, group_size: int = 64,
+                           dtype=jnp.float32):
+    """(W_lo^T, W_hi^T) dequantized (in/2, out) halves in ``dtype``.
+
+    THE canonical grouped-scale broadcast for the halves layout --
+    ``(ns/2, out) -> (ns/2, g, out) -> (in/2, out)``, leading axes only
+    (the in-major orientation exists so this never relayouts the lane
+    dim).  Shared by ``dequantize_int4``, the layer's split-dot fallback
+    (layers/monarch_linear.py), and the kernel's XLA backward fallback
+    (kernels/quant_matmul.py); the in-VMEM mirror of the same math is
+    ``quant_matmul._unpack_scaled``."""
     lo, hi = unpack_int4(packed_t)
     h, out_f = packed_t.shape
     ns = scales.shape[0]
 
     def half(q, s):  # q (h, out), s (ns/2, out)
         sb = jnp.broadcast_to(s[:, None, :], (ns // 2, group_size, out_f))
-        return q.astype(jnp.float32) * sb.reshape(h, out_f)
+        return (q.astype(jnp.float32) * sb.reshape(h, out_f)).astype(dtype)
 
-    w_t = jnp.concatenate([half(lo, scales[: ns // 2]),
-                           half(hi, scales[ns // 2:])], axis=0)
-    return w_t.T.astype(dtype)
+    return half(lo, scales[: ns // 2]), half(hi, scales[ns // 2:])
+
+
+def dequantize_int4(packed_t, scales, group_size: int = 64, dtype=jnp.float32):
+    """Reconstruct W (out, in) from the in-major layout."""
+    lo, hi = dequantize_int4_halves(packed_t, scales, group_size, jnp.float32)
+    return jnp.concatenate([lo, hi], axis=0).T.astype(dtype)
 
 
 import jax

@@ -133,3 +133,40 @@ def test_supported_false_on_untuned_device_kind(monkeypatch):
 
     monkeypatch.setattr(mp, "_vmem_budgets_or_none", lambda: None)
     assert not mp.monarch_kernel_supported(256, (4, 16, 64), (4, 64, 16))
+
+
+def test_bwd_falls_back_to_xla_when_no_tile_plan(monkeypatch):
+    """The forward gate guarantees only the forward tile plan; when the
+    backward's own plan (resident f32 dx) does not fit, mm_bwd must fall
+    back to exact XLA math instead of crashing at trace time."""
+    from sparse_matrix_fine_tuning_tpu.kernels import quant_matmul as qm
+    from sparse_matrix_fine_tuning_tpu.quant import (
+        dequantize_int8, quantize_int8)
+
+    x, packed_t, scales = _mk(256, 256, 64, 4, seed=3)
+    wd = dequantize_int4(packed_t, scales, 64)
+    dx_ref = jax.grad(lambda x: jnp.sum((x @ wd.T) ** 2))(x)
+
+    real4 = qm._pick_fwd_tiles
+    monkeypatch.setattr(
+        qm, "_pick_fwd_tiles",
+        lambda *a, bwd=False, **k: None if bwd else real4(*a, **k))
+    dx = jax.grad(lambda x: jnp.sum(
+        int4_matmul(x, packed_t, scales, 64, interpret=True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-4 * np.abs(dx_ref).max())
+
+    rng = np.random.default_rng(4)
+    w8 = rng.normal(size=(256, 256)).astype(np.float32) * 0.1
+    q_t, s = map(jnp.asarray, quantize_int8(w8))
+    x8 = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+    wd8 = dequantize_int8(q_t, s)
+    dx8_ref = jax.grad(lambda x: jnp.sum((x @ wd8.T) ** 2))(x8)
+    real8 = qm._pick8_tiles
+    monkeypatch.setattr(
+        qm, "_pick8_tiles",
+        lambda *a, bwd=False, **k: None if bwd else real8(*a, **k))
+    dx8 = jax.grad(lambda x: jnp.sum(
+        qm.int8_matmul(x, q_t, s, interpret=True) ** 2))(x8)
+    np.testing.assert_allclose(np.asarray(dx8), np.asarray(dx8_ref),
+                               rtol=1e-4, atol=1e-4 * np.abs(dx8_ref).max())
