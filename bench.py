@@ -45,24 +45,36 @@ def _require_responsive_chip(timeout_s: float = 300.0):
     The tunnelled chip can wedge in a way where every dispatch blocks
     forever; without this probe the whole bench hangs until the driver's
     own timeout and records nothing actionable.  The probe runs in a
-    daemon thread so a hung dispatch cannot block interpreter exit.
+    daemon thread so a hung dispatch cannot block interpreter exit.  A
+    backend that FAILS fast (RPC/init error) is also reported immediately
+    with its real traceback instead of being misdiagnosed as a hang after
+    the full wait.
     """
     import os
     import threading
+    import traceback
 
-    ok = threading.Event()
+    done = threading.Event()
+    failure = []
 
     def probe():
-        x = jnp.ones((256, 256), jnp.bfloat16)
-        (x @ x).block_until_ready()
-        ok.set()
+        try:
+            x = jnp.ones((256, 256), jnp.bfloat16)
+            (x @ x).block_until_ready()
+        except BaseException:  # noqa: BLE001 -- report, then fail fast
+            failure.append(traceback.format_exc())
+        done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    if not ok.wait(timeout_s):
+    if not done.wait(timeout_s):
         print(f"bench: backend unresponsive -- a 256x256 matmul did not "
               f"complete within {timeout_s:.0f}s (wedged tunnel?); "
               f"aborting instead of hanging", file=sys.stderr)
+        os._exit(1)
+    if failure:
+        print("bench: backend probe FAILED (not a hang):\n" + failure[0],
+              file=sys.stderr)
         os._exit(1)
 
 

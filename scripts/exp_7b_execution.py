@@ -176,12 +176,17 @@ def drive():
                 print(f"non-OOM rc={p.returncode}; retrying once "
                       "(transient?)", flush=True)
         ok = p.returncode == 0
+        # child-printed metrics first, driver verdict last: the driver's
+        # returncode-derived fields are authoritative (a child can print a
+        # success record and then die at teardown -- rc != 0 must win so
+        # the JSONL row agrees with the boundary search's own decision)
         rec = {"label": label, "layers": layers, "hidden": hidden,
-               "inter": inter, "executed": ok, "rc": p.returncode,
-               "non_oom_error": p.returncode not in (0, 42)}
+               "inter": inter}
         for line in p.stdout.splitlines():
             if line.startswith("{"):
                 rec.update(json.loads(line))
+        rec.update(executed=ok, rc=p.returncode,
+                   non_oom_error=p.returncode not in (0, 42))
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         results[key] = ok

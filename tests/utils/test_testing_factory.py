@@ -60,3 +60,25 @@ def test_fresh_model_copies_are_mutation_isolated():
     w.set_value(w[...] + 1.0)
     assert not np.allclose(np.asarray(a.classifier.out_proj.kernel[...]),
                            np.asarray(b.classifier.out_proj.kernel[...]))
+
+
+def test_fresh_model_rejects_unfaithful_config_reprs():
+    """A config whose repr is not a value encoding (default object.__repr__
+    embeds an address; array reprs elide values with '...') must bypass the
+    cache: two distinct configs could otherwise silently share one entry."""
+    from sparse_matrix_fine_tuning_tpu.utils import testing as t
+
+    class OpaqueCfg:  # default object.__repr__: '<... object at 0x...>'
+        hidden_size = 8
+
+    class TinyModel(nnx.Module):
+        def __init__(self, config, rngs):
+            self.w = nnx.Param(jax.random.normal(
+                rngs.params(), (config.hidden_size,)))
+
+    before = dict(t._CACHE)
+    m1 = t.fresh_model(TinyModel, OpaqueCfg())
+    m2 = t.fresh_model(TinyModel, OpaqueCfg())
+    assert t._CACHE == before  # nothing cached under an address-based key
+    # both built fresh from the same seed: equal values, independent buffers
+    np.testing.assert_array_equal(np.asarray(m1.w[...]), np.asarray(m2.w[...]))
