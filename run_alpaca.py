@@ -316,8 +316,11 @@ def main():
             t = make_trainer(hp, epochs)
             return ensure_mmlu(t.train(resume=True), t.model)
 
+        import jax
+
         result = hyperparameter_search(
             run_trial, space, n_trials=args.n_trials, parallel_trials=args.parallel_trials,
+            devices=jax.devices() if args.parallel_trials > 1 else None,
             target_metric="eval_mmlu_eval_accuracy", mode="max",
             max_epochs=float(args.epochs))
         save_best_hp(result["best_hyperparams"], out_dir)

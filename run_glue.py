@@ -340,11 +340,16 @@ def main():
             t.train(resume=True)
             return t.evaluate()
 
+        import jax
+
         os.makedirs(train_args.output_dir, exist_ok=True)
         result = hyperparameter_search(
             run_trial, space, n_trials=n_trials, target_metric=target,
             mode="max", min_epochs=min_ep, max_epochs=max_ep,
             parallel_trials=args.parallel_trials,
+            # concurrent trials pinned round-robin to the host's devices
+            # (real parallelism on multi-device hosts; no-op on one chip)
+            devices=jax.devices() if args.parallel_trials > 1 else None,
             state_path=os.path.join(train_args.output_dir, "hpo_state.jsonl")
             if args.resume else None)
         best = result["best_hyperparams"]

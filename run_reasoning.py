@@ -280,8 +280,11 @@ def main():
             return eval_all(t.model, greedy=True, max_new=smoke_new,
                             out=trial_dir)
 
+        import jax
+
         result = hyperparameter_search(
             run_trial, space, n_trials=args.n_trials, parallel_trials=args.parallel_trials,
+            devices=jax.devices() if args.parallel_trials > 1 else None,
             target_metric="eval/average", mode="max",
             max_epochs=float(args.epochs))
         save_best_hp(result["best_hyperparams"], out_dir)

@@ -104,6 +104,7 @@ def hyperparameter_search(
     seed: int = 0,
     state_path: str | None = None,
     parallel_trials: int = 1,
+    devices: list | None = None,
 ) -> dict:
     """Successive-halving search.
 
@@ -117,10 +118,19 @@ def hyperparameter_search(
       state_path: optional JSONL file; completed (trial, budget) results are
         appended there and replayed on restart, so a crashed sweep resumes
         where it stopped (reference run_glue.py:676 Ray resume).
-      parallel_trials: run up to this many trials of a rung concurrently
-        (the reference places concurrent Ray trials across devices,
-        run_glue.py:663-686; here concurrency rides threads -- effective
-        when trials target different hosts/meshes or overlap host work).
+      parallel_trials: run up to this many trials of a rung concurrently.
+        Concurrency rides threads; it is REAL parallelism only when the
+        concurrent trials execute on different devices -- pass ``devices``
+        for that (below).  On a single chip without ``devices`` it only
+        overlaps host work (tokenization, data prep) with device steps.
+      devices: optional list of ``jax.Device``; concurrent trials are
+        pinned round-robin to these via ``jax.default_device`` (thread-
+        local), so a 4-chip host runs 4 trials genuinely in parallel --
+        the TPU-native analogue of Ray's ``resources_per_trial=
+        {"gpu": 1}`` placement (reference run_glue.py:663-686).  Only
+        meaningful with ``parallel_trials > 1``; trials must not pin
+        placements themselves (no explicit shardings/meshes inside
+        run_trial).
     Returns {"best_hyperparams", "best_metric", "trials"}.
     """
     import inspect
@@ -144,10 +154,15 @@ def hyperparameter_search(
     import threading
     state_lock = threading.Lock()
 
-    def execute(t):
+    def execute(t, device=None):
         try:
             args = (dict(t["hp"]), budget) + ((t["id"],) if takes_id else ())
-            metrics = run_trial(*args)
+            if device is not None:
+                import jax
+                with jax.default_device(device):  # thread-local pin
+                    metrics = run_trial(*args)
+            else:
+                metrics = run_trial(*args)
             val = metrics.get(target_metric, worst)
         except Exception as e:
             print(f"[hpo] trial {t['id']} failed: {type(e).__name__}: {e}")
@@ -180,12 +195,14 @@ def hyperparameter_search(
             else:
                 pending.append(t)
         if pending:
+            devs = ([devices[i % len(devices)] for i in range(len(pending))]
+                    if devices else [None] * len(pending))
             if parallel_trials > 1:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(max_workers=parallel_trials) as ex:
-                    recs = list(ex.map(execute, pending))
+                    recs = list(ex.map(execute, pending, devs))
             else:
-                recs = [execute(t) for t in pending]
+                recs = [execute(t, d) for t, d in zip(pending, devs)]
             for t, rec in zip(pending, recs):
                 val = rec[target_metric]
                 history.append(rec)

@@ -123,3 +123,34 @@ def test_reference_method_spaces_and_budgets():
     assert run_glue.load_hpo_budget("stsb") == {"max_t": 11, "grace": 3}
     assert run_glue.load_hpo_budget("mrpc") == {"max_t": 12, "grace": 3}
     assert run_glue.load_hpo_budget("rte") == {"max_t": 15, "grace": 3}
+
+
+def test_parallel_trials_pin_distinct_devices():
+    """devices= pins concurrent trials round-robin via jax.default_device
+    (thread-local), the Ray resources_per_trial analogue: on the 8-device
+    virtual CPU mesh, 4 concurrent trials must commit their arrays to 4
+    distinct devices."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_matrix_fine_tuning_tpu.training.hpo import (
+        hyperparameter_search, uniform)
+
+    devs = jax.devices()[:4]
+    seen = {}
+    lock = threading.Lock()
+
+    def run_trial(hp, epochs, trial_id):
+        y = (jnp.asarray(hp["lr"]) * 2.0).block_until_ready()
+        (dev,) = y.devices()
+        with lock:
+            seen[trial_id] = dev
+        return {"eval_loss": hp["lr"]}
+
+    res = hyperparameter_search(
+        run_trial, {"lr": uniform(0.0, 1.0)}, n_trials=4,
+        min_epochs=1, max_epochs=1, parallel_trials=4, devices=devs)
+    assert len(res["trials"]) == 4
+    assert set(seen.values()) == set(devs)
