@@ -187,6 +187,17 @@ class CollectIntervention(nnx.Module):
         return h
 
 
+def _cayley_rotation(free: Array, dtype) -> Array:
+    """Exactly-orthogonal (d, d) rotation from a free square parameter via
+    the Cayley transform of its skew-symmetric part -- the TPU-native
+    equivalent of torch's ``parametrizations.orthogonal`` (a pure function
+    of trainable state instead of a stateful re-parametrization hook)."""
+    a = free.astype(jnp.float32)
+    skew = (a - a.T) / 2
+    eye = jnp.eye(a.shape[0], dtype=jnp.float32)
+    return jnp.linalg.solve(eye + skew, eye - skew).astype(dtype)
+
+
 def _subspace_mask(dim: int, subspaces, subspace_partition, dtype) -> Array:
     """(dim,) 0/1 mask of rotated coordinates to swap.
 
@@ -223,10 +234,7 @@ class RotatedSpaceIntervention(nnx.Module):
         self.subspace_partition = subspace_partition
 
     def _rotation(self, dtype) -> Array:
-        a = self.skew[...].astype(jnp.float32)
-        skew = (a - a.T) / 2
-        eye = jnp.eye(a.shape[0], dtype=jnp.float32)
-        return jnp.linalg.solve(eye + skew, eye - skew).astype(dtype)
+        return _cayley_rotation(self.skew[...], dtype)
 
     def __call__(self, h: Array, source: Optional[Array] = None,
                  subspaces=None) -> Array:
@@ -272,6 +280,181 @@ class LowRankRotatedSpaceIntervention(nnx.Module):
         return h + (diff * mask) @ R.T
 
 
+class ZeroIntervention(nnx.Module):
+    """Zero out the selected coordinates of the base (reference pyvene
+    models/interventions.py:124-143: interchange with zeros_like(base));
+    constant-source -- needs no source example."""
+
+    def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
+                 subspace_partition=None, rngs: Optional[nnx.Rngs] = None, **_):
+        self.subspace_partition = subspace_partition
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        mask = _subspace_mask(h.shape[-1], subspaces,
+                              self.subspace_partition, h.dtype)
+        return h * (1 - mask)
+
+
+class SkipIntervention(nnx.Module):
+    """Skip the hooked layer's computation: interchange the base with the
+    layer's INPUT activations (reference pyvene models/interventions.py:
+    166-186, where ``source`` is the base example's input to the hook).
+    Callers pass the pre-layer activation as ``source`` (component
+    addressing exposes ``block_input``)."""
+
+    def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
+                 subspace_partition=None, rngs: Optional[nnx.Rngs] = None, **_):
+        self.subspace_partition = subspace_partition
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        mask = _subspace_mask(h.shape[-1], subspaces,
+                              self.subspace_partition, h.dtype)
+        return h + (source.astype(h.dtype) - h) * mask
+
+
+class BoundlessRotatedSpaceIntervention(nnx.Module):
+    """Boundless DAS (reference pyvene models/interventions.py:281-326):
+    interchange in the full rotated space where the swapped-coordinate
+    count is LEARNED -- a soft boundary mask
+    ``sigmoid((pos - 0)/T) * sigmoid((boundary*d - pos)/T)`` over the
+    rotated coordinate index (basic_utils.sigmoid_boundary), with the
+    boundary fraction trainable and the temperature annealed externally
+    via ``set_temperature``."""
+
+    def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.skew = AdapterParam(jax.random.normal(
+            rngs.params(), (embed_dim, embed_dim), param_dtype) * 0.01)
+        # boundary fraction in (0, 1], init 0.5 (reference :288)
+        self.intervention_boundaries = AdapterParam(
+            jnp.asarray([0.5], param_dtype))
+        # annealed by the trainer, not optimized (reference set_temperature)
+        self.temperature = nnx.Variable(jnp.asarray(50.0, jnp.float32))
+        self.embed_dim = embed_dim
+
+    def set_temperature(self, temp: float) -> None:
+        self.temperature.set_value(jnp.asarray(temp, jnp.float32))
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        R = _cayley_rotation(self.skew[...], h.dtype)
+        rb = h @ R
+        rs = source.astype(h.dtype) @ R
+        boundary = jnp.clip(
+            self.intervention_boundaries[...].astype(jnp.float32), 1e-3, 1.0)
+        pos = jnp.arange(self.embed_dim, dtype=jnp.float32)
+        temp = self.temperature[...]
+        mask = (jax.nn.sigmoid((pos - 0.0) / temp)
+                * jax.nn.sigmoid((boundary[0] * self.embed_dim - pos) / temp))
+        return (rb + (rs - rb) * mask.astype(h.dtype)) @ R.T
+
+
+class SigmoidMaskRotatedSpaceIntervention(nnx.Module):
+    """Rotated-space interchange with a LEARNED per-coordinate sigmoid mask
+    (reference pyvene models/interventions.py:328-365): masks init 100
+    (mask ~ 1 everywhere), temperature 50, annealed externally."""
+
+    def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.skew = AdapterParam(jax.random.normal(
+            rngs.params(), (embed_dim, embed_dim), param_dtype) * 0.01)
+        self.masks = AdapterParam(jnp.full((embed_dim,), 100.0, param_dtype))
+        self.temperature = nnx.Variable(jnp.asarray(50.0, jnp.float32))
+
+    def set_temperature(self, temp: float) -> None:
+        self.temperature.set_value(jnp.asarray(temp, jnp.float32))
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        R = _cayley_rotation(self.skew[...], h.dtype)
+        rb = h @ R
+        rs = source.astype(h.dtype) @ R
+        mask = jax.nn.sigmoid(
+            self.masks[...].astype(jnp.float32) / self.temperature[...])
+        return (rb + (rs - rb) * mask.astype(h.dtype)) @ R.T
+
+
+class SigmoidMaskIntervention(nnx.Module):
+    """Interchange in the ORIGINAL basis through a learned sigmoid mask
+    (reference pyvene models/interventions.py:367-394): mask init 0
+    (sigmoid = 0.5 everywhere), temperature 0.01."""
+
+    def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.mask = AdapterParam(jnp.zeros((embed_dim,), param_dtype))
+        self.temperature = nnx.Variable(jnp.asarray(0.01, jnp.float32))
+
+    def set_temperature(self, temp: float) -> None:
+        self.temperature.set_value(jnp.asarray(temp, jnp.float32))
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        sig = jax.nn.sigmoid(
+            self.mask[...].astype(jnp.float32) / self.temperature[...])
+        sig = sig.astype(h.dtype)
+        return (1 - sig) * h + sig * source.astype(h.dtype)
+
+
+class PCARotatedSpaceIntervention(nnx.Module):
+    """Interchange in a FIXED PCA basis (reference pyvene
+    models/interventions.py:448-485): standardize with the fitted
+    mean/std, project onto the components, swap the selected component
+    coordinates, project back, de-standardize.  Nothing is trainable."""
+
+    def __init__(self, pca_components, pca_mean, pca_std, *,
+                 subspace_partition=None, rngs: Optional[nnx.Rngs] = None, **_):
+        self.components = nnx.Variable(jnp.asarray(pca_components,
+                                                   jnp.float32))  # (r, d)
+        self.mean = nnx.Variable(jnp.asarray(pca_mean, jnp.float32))
+        self.std = nnx.Variable(jnp.asarray(pca_std, jnp.float32))
+        self.subspace_partition = subspace_partition
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        comps = self.components[...].astype(h.dtype)
+        mean = self.mean[...].astype(h.dtype)
+        std = self.std[...].astype(h.dtype)
+        rb = ((h - mean) / std) @ comps.T
+        rs = ((source.astype(h.dtype) - mean) / std) @ comps.T
+        mask = _subspace_mask(comps.shape[0], subspaces,
+                              self.subspace_partition, h.dtype)
+        out = (rb + (rs - rb) * mask) @ comps
+        return out * std + mean
+
+
+class NoiseIntervention(nnx.Module):
+    """Add a FIXED Gaussian noise pattern to the gathered positions
+    (reference pyvene models/interventions.py:487-505, the ROME corruption:
+    noise drawn once from ``np.random.RandomState(1)`` with shape
+    (1, positions, d), scaled by ``noise_level``); constant-source."""
+
+    def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
+                 positions: int = 4, noise_level: float = 0.13462981581687927,
+                 rngs: Optional[nnx.Rngs] = None, **_):
+        import numpy as _np
+        rs = _np.random.RandomState(1)
+        self.noise = nnx.Variable(jnp.asarray(
+            rs.randn(1, positions, embed_dim), jnp.float32))
+        self.noise_level = float(noise_level)
+
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        noise = self.noise[...].astype(h.dtype)
+        return h + noise * jnp.asarray(self.noise_level, h.dtype)
+
+
 INTERVENTION_TYPES = {
     "LoreftIntervention": LoreftIntervention,
     "NoreftIntervention": NoreftIntervention,
@@ -285,12 +468,22 @@ INTERVENTION_TYPES = {
     "CollectIntervention": CollectIntervention,
     "RotatedSpaceIntervention": RotatedSpaceIntervention,
     "LowRankRotatedSpaceIntervention": LowRankRotatedSpaceIntervention,
+    "ZeroIntervention": ZeroIntervention,
+    "SkipIntervention": SkipIntervention,
+    "BoundlessRotatedSpaceIntervention": BoundlessRotatedSpaceIntervention,
+    "SigmoidMaskRotatedSpaceIntervention": SigmoidMaskRotatedSpaceIntervention,
+    "SigmoidMaskIntervention": SigmoidMaskIntervention,
+    "PCARotatedSpaceIntervention": PCARotatedSpaceIntervention,
+    "NoiseIntervention": NoiseIntervention,
 }
 
 # interventions whose edit is a function of a SOURCE example's activations
 SOURCE_BASED = (VanillaIntervention, AdditionIntervention,
                 SubtractionIntervention, RotatedSpaceIntervention,
-                LowRankRotatedSpaceIntervention)
+                LowRankRotatedSpaceIntervention, SkipIntervention,
+                BoundlessRotatedSpaceIntervention,
+                SigmoidMaskRotatedSpaceIntervention, SigmoidMaskIntervention,
+                PCARotatedSpaceIntervention)
 
 
 @dataclasses.dataclass
