@@ -51,6 +51,18 @@ def test_hpo_smoke(tmp_path):
     assert "learning_rate" in hp
 
 
+@pytest.mark.slow
+def test_hpo_parallel_trials_device_pinned(tmp_path):
+    """Concurrent trials (threads + per-trial jax.default_device pinning)
+    must train to completion: exercises Trainer thread-safety under the
+    Ray-placement-equivalent path end-to-end."""
+    _run(tmp_path, ["--do_tune=True", "--n_trials=2", "--num_train_epochs=1",
+                    "--parallel_trials=2"])
+    best = os.path.join(str(tmp_path), "cola", "best_hyperparams.json")
+    assert os.path.exists(best)
+    assert "learning_rate" in json.load(open(best))
+
+
 def test_mnli_double_eval(tmp_path):
     """MNLI reports both matched and mismatched validation metrics
     (reference run_glue.py:757-787)."""
