@@ -64,24 +64,32 @@ class LoreftIntervention(nnx.Module):
 
 
 class NoreftIntervention(nnx.Module):
+    """h + P^T(act(W h + b) - (P h + p_b)): like Loreft but with an
+    UNCONSTRAINED projection instead of a semi-orthogonal rotation
+    (reference pyreft interventions.py:62-82).  The learned source always
+    has a bias; ``add_bias`` gates the PROJECTION's bias, matching the
+    reference's ``proj_layer = Linear(..., bias=add_bias)``."""
+
     def __init__(self, embed_dim: int, low_rank_dimension: int, *,
                  add_bias: bool = True, dropout: float = 0.0, act_fn=None,
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
         k1, k2 = jax.random.split(rngs.params())
         self.proj = AdapterParam(jax.random.normal(
             k1, (embed_dim, low_rank_dimension), param_dtype) * 0.02)
+        self.proj_b = AdapterParam(jnp.zeros((low_rank_dimension,),
+                                             param_dtype)) if add_bias else None
         self.w = AdapterParam(jax.random.normal(
             k2, (embed_dim, low_rank_dimension), param_dtype) * 0.02)
-        self.b = AdapterParam(jnp.zeros((low_rank_dimension,), param_dtype)) \
-            if add_bias else None
+        self.b = AdapterParam(jnp.zeros((low_rank_dimension,), param_dtype))
         self.act_fn = act_fn or (lambda x: x)
 
     def __call__(self, h: Array) -> Array:
         P = self.proj[...].astype(h.dtype)
-        src = h @ self.w[...].astype(h.dtype)
-        if self.b is not None:
-            src = src + self.b[...].astype(h.dtype)
-        return h + (self.act_fn(src) - h @ P) @ P.T
+        proj_base = h @ P
+        if self.proj_b is not None:
+            proj_base = proj_base + self.proj_b[...].astype(h.dtype)
+        src = h @ self.w[...].astype(h.dtype) + self.b[...].astype(h.dtype)
+        return h + (self.act_fn(src) - proj_base) @ P.T
 
 
 class ConsreftIntervention(nnx.Module):
