@@ -88,6 +88,8 @@ def parse_args():
     p.add_argument("--top_k", default=None, type=int)
     p.add_argument("--num_beams", default=1, type=int)
     p.add_argument("--do_sample", default=False, type=eval)
+    p.add_argument("--repetition_penalty", default=1.0, type=float)
+    p.add_argument("--no_repeat_ngram_size", default=0, type=int)
     p.add_argument("--smoke", default=False, type=eval)
     p.add_argument("--output_dir", default="results/alpaca")
     p.add_argument("--logging_steps", default=10, type=int)
@@ -159,6 +161,8 @@ def predict_generations(model, tokenizer, eval_items, args, out_dir, *,
         temperature=args.temperature if args.temperature is not None else 1.0,
         top_p=args.top_p if args.top_p is not None else 1.0,
         top_k=args.top_k if args.top_k is not None else 0,
+        repetition_penalty=args.repetition_penalty,
+        no_repeat_ngram_size=args.no_repeat_ngram_size,
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id)
     bs, n = args.batch_size, len(ids)

@@ -58,7 +58,8 @@ TASK_CONFIG = {
         "trigger_tokens": "### Response:",
         "generation_args": {
             True: {"max_length": 2048, "do_sample": False},
-            False: {"max_length": 2048, "do_sample": False},
+            False: {"max_length": 2048, "no_repeat_ngram_size": 5,
+                    "repetition_penalty": 1.1, "do_sample": False},
         },
     },
     "gsm8k": {

@@ -115,6 +115,8 @@ def compute_reasoning_metrics(
         temperature=gen_args.get("temperature", 1.0),
         top_p=gen_args.get("top_p", 1.0),
         top_k=gen_args.get("top_k", 0),
+        repetition_penalty=gen_args.get("repetition_penalty", 1.0),
+        no_repeat_ngram_size=gen_args.get("no_repeat_ngram_size", 0),
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id,
     )

@@ -50,6 +50,10 @@ class GenerationConfig:
     top_k: int = 0
     length_penalty: float = 1.0
     early_stopping: bool = True
+    # decode constraints (reference alpaca generation_args,
+    # task_config.py:108-120: repetition_penalty 1.1, no_repeat_ngram 5)
+    repetition_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
 
 
 def _positions_from_mask(mask: Array) -> Array:
@@ -72,6 +76,41 @@ def _sample_logits(logits, key, cfg: GenerationConfig):
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, -1)
         logits = jnp.where(logits < cutoff, NEG, logits)
     return jax.random.categorical(key, logits, -1)
+
+
+def _apply_repetition_penalty(logits, presence, penalty: float):
+    """CTRL-style: divide positive / multiply negative logits of every
+    token already present in the sequence (HF RepetitionPenaltyLogitsProcessor
+    semantics, applied over prompt + generated tokens)."""
+    lp = logits.astype(jnp.float32)
+    pen = jnp.where(lp > 0, lp / penalty, lp * penalty)
+    return jnp.where(presence, pen, lp)
+
+
+def _ban_repeated_ngrams(logits, seq_full, cur_len, n: int):
+    """NEG out any token that would complete an n-gram already present in
+    seq_full[:, :cur_len] (HF NoRepeatNGramLogitsProcessor semantics).
+
+    seq_full: (b, L) prompt+generated buffer; cur_len: scalar count of
+    filled slots.  All window comparisons are static-shape; validity
+    masking handles the dynamic length.
+    """
+    b, L = seq_full.shape
+    # last (n-1) tokens = the prefix the next token would extend
+    prefix = jax.lax.dynamic_slice_in_dim(
+        seq_full, cur_len - (n - 1), n - 1, axis=1)  # (b, n-1)
+    nwin = L - n + 1
+    eq = jnp.ones((b, nwin), bool)
+    for k in range(n - 1):
+        eq &= seq_full[:, k:k + nwin] == prefix[:, k:k + 1]
+    # window s matches when its (n-1)-prefix equals ours AND its banned
+    # token (index s+n-1) lies inside the already-generated region
+    valid = (jnp.arange(nwin) + n - 1) < cur_len
+    eq &= valid[None, :]
+    banned_tok = seq_full[:, n - 1:]  # (b, nwin): token following window s
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], banned_tok.shape)
+    banned = jnp.zeros(logits.shape, bool).at[rows, banned_tok].max(eq)
+    return jnp.where(banned, NEG, logits.astype(jnp.float32))
 
 
 def _resolve_hooks(m, locs, legacy_hooks):
@@ -110,6 +149,18 @@ def _compiled_greedy(graphdef, cfg: GenerationConfig, has_locs: bool,
         out_toks = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
         finished = jnp.zeros((b,), bool)
 
+        use_pen = cfg.repetition_penalty != 1.0
+        use_ngram = cfg.no_repeat_ngram_size > 0
+        rows = jnp.arange(b)
+        if use_pen:
+            # tokens already present in the (unpadded part of the) prompt
+            V = logits.shape[-1]
+            presence = jnp.zeros((b, V), bool).at[
+                jnp.broadcast_to(rows[:, None], input_ids.shape), input_ids
+            ].max(attention_mask.astype(bool))
+        else:
+            presence = jnp.zeros((b, 1), bool)  # uniform carry, unused
+
         def cond(carry):
             i, finished = carry[0], carry[5]
             not_done = i < cfg.max_new_tokens
@@ -118,10 +169,24 @@ def _compiled_greedy(graphdef, cfg: GenerationConfig, has_locs: bool,
             return not_done
 
         def step(carry):
-            i, caches, mask_full, last_logit, pos, finished, rng, out_toks = carry
+            (i, caches, mask_full, last_logit, pos, finished, rng, out_toks,
+             presence) = carry
             rng, key = jax.random.split(rng)
-            tok = _sample_logits(last_logit, key, cfg)
+            lg = last_logit
+            if use_pen:
+                lg = _apply_repetition_penalty(
+                    lg, presence, cfg.repetition_penalty)
+            if use_ngram:
+                n = cfg.no_repeat_ngram_size
+                seq_full = jnp.concatenate([input_ids, out_toks], axis=1)
+                cur_len = t + i
+                banned = _ban_repeated_ngrams(lg, seq_full, cur_len, n)
+                # no bans until an n-gram can exist (HF semantics)
+                lg = jnp.where(cur_len >= n, banned, lg.astype(jnp.float32))
+            tok = _sample_logits(lg, key, cfg)
             tok = jnp.where(finished, cfg.pad_token_id, tok)
+            if use_pen:
+                presence = presence.at[rows, tok].set(True)
             if cfg.eos_token_id is not None:
                 finished = finished | (tok == cfg.eos_token_id)
             out_toks = jax.lax.dynamic_update_slice_in_dim(
@@ -134,12 +199,12 @@ def _compiled_greedy(graphdef, cfg: GenerationConfig, has_locs: bool,
                                positions=pos[:, None], caches=caches,
                                cache_index=slot)
             return (i + 1, caches, mask_full, logits[:, 0], pos + 1,
-                    finished, rng, out_toks)
+                    finished, rng, out_toks, presence)
 
         carry = (jnp.int32(0), caches, mask_full, last_logit, next_pos,
-                 finished, rng, out_toks)
+                 finished, rng, out_toks, presence)
         carry = jax.lax.while_loop(cond, step, carry)
-        return carry[-1]  # (b, max_new)
+        return carry[7]  # out_toks (b, max_new)
 
     return run
 
@@ -160,6 +225,12 @@ def generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
     with pad_token_id after EOS).
     """
     if gen_config.num_beams > 1:
+        if (gen_config.repetition_penalty != 1.0
+                or gen_config.no_repeat_ngram_size > 0):
+            raise NotImplementedError(
+                "repetition_penalty / no_repeat_ngram_size are implemented "
+                "for the greedy/sampling decode only (the reference recipes "
+                "use them with num_beams=1 -- task_config.py alpaca)")
         return beam_generate(model, input_ids, attention_mask, gen_config,
                              prefill_hooks=prefill_hooks,
                              intervention_locations=intervention_locations)
