@@ -197,6 +197,40 @@ def find_all_linear_names(model: nnx.Module, exclude: tuple = ("lm_head",)) -> l
     return sorted(names)
 
 
+class ScaledLoRA(nnx.LoRA):
+    """nnx.LoRA with peft's LoraConfig semantics (the reference's LoRA
+    source, train_utils.py:404-407 / qlora.py:366-372):
+
+    ``y = base(x) + (dropout(x) @ A @ B) * (lora_alpha / r)``
+
+    A init: peft default kaiming_uniform(a=sqrt(5)) (uniform bound
+    1/sqrt(in_features)) or "gaussian" (normal std 1/r); B zeros.  Verified
+    weight-for-weight against the installed peft library
+    (tests/reference_parity/test_lora_parity.py)."""
+
+    def __init__(self, in_features: int, rank: int, out_features: int, *,
+                 base_module, alpha: Optional[float] = None,
+                 dropout: float = 0.0, init_lora_weights=True,
+                 rngs: nnx.Rngs):
+        if init_lora_weights == "gaussian":
+            a_init = nnx.initializers.normal(stddev=1.0 / rank)
+        else:  # peft default: kaiming_uniform(a=sqrt(5)) = U(+-1/sqrt(fan_in))
+            a_init = nnx.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform")
+        super().__init__(in_features, rank, out_features,
+                         base_module=base_module, a_initializer=a_init,
+                         rngs=rngs)
+        self.scaling = float(alpha) / rank if alpha is not None else 1.0
+        self.dropout = (nnx.Dropout(dropout, deterministic=True, rngs=rngs)
+                        if dropout > 0 else None)
+
+    def __call__(self, x):
+        xb = self.dropout(x) if self.dropout is not None else x
+        a = self.lora_a[...].astype(x.dtype)
+        b = self.lora_b[...].astype(x.dtype)
+        return self.base_module(x) + (xb @ a @ b) * self.scaling
+
+
 def init_lora(
     model: nnx.Module,
     peft_config: dict,
@@ -204,18 +238,24 @@ def init_lora(
     rngs: Optional[nnx.Rngs] = None,
 ) -> list[str]:
     """LoRA baseline: wrap target linears with an additive low-rank branch
-    (reference train_utils.py:404-407 via the peft library).  Uses NNX's
-    built-in LoRA module whose params are LoRAParam (trainable via filter).
-    """
+    (reference train_utils.py:404-407 via the peft library).  Honors the
+    reference config keys r/rank, lora_alpha (scaling alpha/r),
+    lora_dropout, init_lora_weights; params are LoRAParam (trainable via
+    filter)."""
     rngs = rngs or nnx.Rngs(0)
     targets = set(peft_config["target_modules"])
     rank = peft_config.get("r", peft_config.get("rank", 8))
+    alpha = peft_config.get("lora_alpha")
+    dropout = peft_config.get("lora_dropout", 0.0)
+    init_w = peft_config.get("init_lora_weights", True)
     adapted = []
     for parent, name, child in list(_iter_parents(model)):
         if name not in targets or not isinstance(child, nnx.Linear):
             continue
         in_f, out_f = child.kernel[...].shape
-        lora = nnx.LoRA(in_f, rank, out_f, base_module=child, rngs=rngs)
+        lora = ScaledLoRA(in_f, rank, out_f, base_module=child, alpha=alpha,
+                          dropout=dropout, init_lora_weights=init_w,
+                          rngs=rngs)
         if isinstance(parent, nnx.List):
             parent[int(name)] = lora
         else:

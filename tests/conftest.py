@@ -44,6 +44,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # trainers, virtual-mesh runs, generation/packing, torch-parity model runs).
 _SLOW_PATTERNS = (
     "tests/harness/",
+    # cross-library differential tests (import torch/peft/reference code;
+    # they guard parity, not the dev loop)
+    "tests/reference_parity/",
     "tests/test_graft_entry.py",
     "tests/training/test_trainer.py",
     "tests/models/test_packing.py",

@@ -34,17 +34,19 @@ def test_identity_at_init():
 
 
 def test_rotation_preserves_norm():
-    w = jax.random.normal(jax.random.PRNGKey(3), (32, 16)) * 0.1
-    layer = BOFTLinear(16, 32, weights=w, block_size=8, rngs=nnx.Rngs(0))
+    """peft-semantics BOFT rotates the INPUT features: with an identity
+    dense and unit scales, the layer output is exactly x @ R for an
+    orthogonal R -- per-example norms preserved, input actually rotated."""
+    w = jnp.eye(16)
+    layer = BOFTLinear(16, 16, weights=w, block_size=8, rngs=nnx.Rngs(0))
     layer.boft_R.set_value(jax.random.normal(
         jax.random.PRNGKey(4), layer.boft_R[...].shape) * 0.3)
     x = jax.random.normal(jax.random.PRNGKey(5), (4, 16))
-    base = np.asarray(x @ w.T)
     out = np.asarray(layer(x))
-    # orthogonal rotation with unit scales: per-example norms preserved
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1),
-                               np.linalg.norm(base, axis=-1), rtol=1e-4)
-    assert np.abs(out - base).max() > 1e-3  # but output actually rotated
+                               np.linalg.norm(np.asarray(x), axis=-1),
+                               rtol=1e-4)
+    assert np.abs(out - np.asarray(x)).max() > 1e-3  # actually rotated
 
 
 def test_boft_surgery_and_training():
@@ -72,3 +74,25 @@ def test_boft_surgery_and_training():
     assert any("boft_R" in p for p in paths)
     assert any("boft_s" in p for p in paths)
     assert not any("embeddings" in p for p in paths)
+
+
+def test_multiplicative_dropout_replaces_blocks_in_training_only():
+    """peft MultiplicativeDropoutLayer semantics: training mode replaces a
+    fraction of one factor's blocks with identity; eval is exact."""
+    w = jnp.eye(16)
+    layer = BOFTLinear(16, 16, weights=w, block_size=4,
+                       n_butterfly_factor=1, dropout=0.5, rngs=nnx.Rngs(0))
+    layer.boft_R.set_value(jax.random.normal(
+        jax.random.PRNGKey(7), layer.boft_R[...].shape) * 0.5)
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 16))
+    eval_out = np.asarray(layer(x))  # deterministic defaults True
+
+    layer.deterministic = False  # what model.train() flips
+    outs = {np.asarray(layer(x)).tobytes() for _ in range(8)}
+    # dropout randomizes which blocks are identity: outputs vary across
+    # calls and differ from the eval output for at least one draw
+    assert len(outs) > 1
+    assert any(o != eval_out.tobytes() for o in outs)
+
+    layer.deterministic = True
+    np.testing.assert_array_equal(np.asarray(layer(x)), eval_out)
