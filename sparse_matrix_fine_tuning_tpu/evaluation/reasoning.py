@@ -108,6 +108,12 @@ def compute_reasoning_metrics(
         gen_args["top_k"] = top_k
     if max_new_tokens is not None:
         gen_args["max_new_tokens"] = max_new_tokens
+    if "max_new_tokens" not in gen_args and "max_length" in gen_args:
+        # alpaca pins a TOTAL-length budget (task_config.py:111 max_length
+        # 2048, HF semantics: prompt + generation); convert to a new-token
+        # budget against this eval set's prompt width
+        prompt_len = int(np.asarray(eval_data["input_ids"]).shape[1])
+        gen_args["max_new_tokens"] = max(1, gen_args["max_length"] - prompt_len)
     gc = GenerationConfig(
         max_new_tokens=gen_args.get("max_new_tokens", 32),
         num_beams=gen_args.get("num_beams", 1),

@@ -82,6 +82,8 @@ class NoreftIntervention(nnx.Module):
             k2, (embed_dim, low_rank_dimension), param_dtype) * 0.02)
         self.b = AdapterParam(jnp.zeros((low_rank_dimension,), param_dtype))
         self.act_fn = act_fn or (lambda x: x)
+        self.dropout = nnx.Dropout(dropout, deterministic=True, rngs=rngs) \
+            if dropout > 0 else None
 
     def __call__(self, h: Array) -> Array:
         P = self.proj[...].astype(h.dtype)
@@ -89,7 +91,12 @@ class NoreftIntervention(nnx.Module):
         if self.proj_b is not None:
             proj_base = proj_base + self.proj_b[...].astype(h.dtype)
         src = h @ self.w[...].astype(h.dtype) + self.b[...].astype(h.dtype)
-        return h + (self.act_fn(src) - proj_base) @ P.T
+        out = h + (self.act_fn(src) - proj_base) @ P.T
+        # reference applies dropout to the intervention OUTPUT
+        # (interventions.py:69,77)
+        if self.dropout is not None:
+            out = self.dropout(out)
+        return out
 
 
 class ConsreftIntervention(nnx.Module):
@@ -306,10 +313,12 @@ class ZeroIntervention(nnx.Module):
 
 class SkipIntervention(nnx.Module):
     """Skip the hooked layer's computation: interchange the base with the
-    layer's INPUT activations (reference pyvene models/interventions.py:
-    166-186, where ``source`` is the base example's input to the hook).
-    Callers pass the pre-layer activation as ``source`` (component
-    addressing exposes ``block_input``)."""
+    SAME example's input to the hooked layer (reference pyvene
+    models/interventions.py:166-186, where ``source`` is the base example
+    input to the hook -- NOT another example's activations).
+    ``ReftModel._hooks`` wires the layer input automatically: block L's
+    input is captured at block L-1's output (embeddings via the
+    (0, "block_input") site for L=0)."""
 
     def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
                  subspace_partition=None, rngs: Optional[nnx.Rngs] = None, **_):
@@ -419,8 +428,16 @@ class PCARotatedSpaceIntervention(nnx.Module):
     mean/std, project onto the components, swap the selected component
     coordinates, project back, de-standardize.  Nothing is trainable."""
 
-    def __init__(self, pca_components, pca_mean, pca_std, *,
-                 subspace_partition=None, rngs: Optional[nnx.Rngs] = None, **_):
+    def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
+                 pca_components=None, pca_mean=None, pca_std=None,
+                 subspace_partition=None, rngs: Optional[nnx.Rngs] = None,
+                 param_dtype=jnp.float32, **_):
+        if pca_components is None or pca_mean is None or pca_std is None:
+            raise ValueError(
+                "PCARotatedSpaceIntervention needs the fitted basis: pass "
+                "pca_components (r, d), pca_mean (d,), pca_std (d,) in the "
+                "representation dict (reference pyvene interventions.py:"
+                "448-485 takes them as pca/pca_mean/pca_std kwargs)")
         self.components = nnx.Variable(jnp.asarray(pca_components,
                                                    jnp.float32))  # (r, d)
         self.mean = nnx.Variable(jnp.asarray(pca_mean, jnp.float32))
@@ -486,9 +503,11 @@ INTERVENTION_TYPES = {
 }
 
 # interventions whose edit is a function of a SOURCE example's activations
+# (SkipIntervention is deliberately NOT here: its "source" is the same
+# example's layer input, wired by ReftModel._hooks, never a source example)
 SOURCE_BASED = (VanillaIntervention, AdditionIntervention,
                 SubtractionIntervention, RotatedSpaceIntervention,
-                LowRankRotatedSpaceIntervention, SkipIntervention,
+                LowRankRotatedSpaceIntervention,
                 BoundlessRotatedSpaceIntervention,
                 SigmoidMaskRotatedSpaceIntervention, SigmoidMaskIntervention,
                 PCARotatedSpaceIntervention)
@@ -580,6 +599,9 @@ class ReftModel(nnx.Module):
             if isinstance(iv, NoIntervention):
                 continue
             locs = self._locs(intervention_locations, i)
+            if isinstance(iv, SkipIntervention):
+                self._add_skip_hooks(hooks, iv, i, locs)
+                continue
             src = (sources or {}).get(i)
             fn = (lambda iv, locs, src:
                   lambda x: apply_at_positions(x, locs, iv, source=src)
@@ -587,6 +609,43 @@ class ReftModel(nnx.Module):
             prev = hooks.get(self._key(i))
             hooks[self._key(i)] = fn if prev is None else _chain(prev, fn)
         return hooks
+
+    def _add_skip_hooks(self, hooks, iv, i, locs):
+        """SkipIntervention's ``source`` is the SAME example's input to the
+        hooked block (pyvene interventions.py:172).  The input to block L is
+        block L-1's output, captured at that (remat-safe) block-output hook
+        site; L=0 captures the embeddings via the (0, "block_input") inner
+        site.  The captured value is a traced array of the same forward, so
+        the skip hook closes over it within one trace."""
+        layer = self.intervention_layers[i]
+        comp = self.intervention_components[i]
+        if comp != "block_output":
+            raise NotImplementedError(
+                "SkipIntervention is supported at component='block_output' "
+                f"(got {comp!r}): its source is the block's input, which the "
+                "engine captures at the previous block's output")
+        if layer == 0 and getattr(self.model.config, "remat", False):
+            raise NotImplementedError(
+                "SkipIntervention at layer 0 of a remat'd model: the "
+                "embeddings capture runs inside the rematerialized block and "
+                "cannot escape to the block-output site; disable remat or "
+                "skip a later layer")
+        cap = {}
+
+        def capture(x):
+            cap["src"] = gather_positions(x, locs)
+            return x
+
+        def skip_fn(x):
+            assert "src" in cap, (
+                "SkipIntervention capture hook did not run before the skip "
+                "site -- hook ordering bug")
+            return apply_at_positions(x, locs, iv, source=cap["src"])
+
+        cap_key = (0, "block_input") if layer == 0 else layer - 1
+        for key, fn in ((cap_key, capture), (layer, skip_fn)):
+            prev = hooks.get(key)
+            hooks[key] = fn if prev is None else _chain(prev, fn)
 
     def collect_activations(self, input_ids, locations, attention_mask=None,
                             **kw):

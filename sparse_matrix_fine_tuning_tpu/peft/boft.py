@@ -201,4 +201,11 @@ def init_boft(model: nnx.Module, peft_config: dict, *,
         else:
             setattr(parent, name, new_layer)
         adapted.append(name)
+    if peft_config.get("bias") == "all":
+        # peft bias="all": EVERY bias in the model trains, not just the
+        # adapted layers' (bias="boft_only" is handled per-layer above)
+        for _, attr, child in _iter_parents(model):
+            bias = getattr(child, "bias", None)
+            if isinstance(bias, nnx.Param) and not isinstance(bias, AdapterParam):
+                child.bias = AdapterParam(bias[...])
     return adapted

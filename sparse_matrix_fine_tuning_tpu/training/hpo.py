@@ -123,10 +123,12 @@ def hyperparameter_search(
         concurrent trials execute on different devices -- pass ``devices``
         for that (below).  On a single chip without ``devices`` it only
         overlaps host work (tokenization, data prep) with device steps.
-      devices: optional list of ``jax.Device``; concurrent trials are
-        pinned round-robin to these via ``jax.default_device`` (thread-
-        local), so a 4-chip host runs 4 trials genuinely in parallel --
-        the TPU-native analogue of Ray's ``resources_per_trial=
+      devices: optional list of ``jax.Device``; each trial acquires a
+        device from a pool and pins to it via ``jax.default_device``
+        (thread-local), releasing it when done -- a 4-chip host runs 4
+        trials genuinely in parallel, excess concurrency blocks for a
+        free chip instead of co-residing two models on one device's HBM.
+        The TPU-native analogue of Ray's ``resources_per_trial=
         {"gpu": 1}`` placement (reference run_glue.py:663-686).  Only
         meaningful with ``parallel_trials > 1``; trials must not pin
         placements themselves (no explicit shardings/meshes inside
@@ -151,10 +153,20 @@ def hyperparameter_search(
         if done:
             print(f"[hpo] resuming: {len(done)} completed trial evaluations")
 
+    import queue
     import threading
     state_lock = threading.Lock()
+    device_pool = None
+    if devices:
+        device_pool = queue.Queue()
+        for d in devices:
+            device_pool.put(d)
 
-    def execute(t, device=None):
+    def execute(t):
+        # acquire/release a device from the pool: trials never double-book
+        # a chip while another sits idle, and excess concurrency blocks
+        # here instead of co-residing two models on one device's HBM
+        device = device_pool.get() if device_pool is not None else None
         try:
             args = (dict(t["hp"]), budget) + ((t["id"],) if takes_id else ())
             if device is not None:
@@ -171,6 +183,8 @@ def hyperparameter_search(
         import gc
         gc.collect()  # free the trial's model/optimizer buffers
         # (reference free_memory between trials, train_utils.py:552-555)
+        if device is not None:
+            device_pool.put(device)  # release only after buffers are freed
         rec = {"id": t["id"], "hp": t["hp"], "epochs": budget,
                target_metric: val}
         print(f"[hpo] {json.dumps(rec)}")
@@ -195,14 +209,12 @@ def hyperparameter_search(
             else:
                 pending.append(t)
         if pending:
-            devs = ([devices[i % len(devices)] for i in range(len(pending))]
-                    if devices else [None] * len(pending))
             if parallel_trials > 1:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(max_workers=parallel_trials) as ex:
-                    recs = list(ex.map(execute, pending, devs))
+                    recs = list(ex.map(execute, pending))
             else:
-                recs = [execute(t, d) for t, d in zip(pending, devs)]
+                recs = [execute(t) for t in pending]
             for t, rec in zip(pending, recs):
                 val = rec[target_metric]
                 history.append(rec)

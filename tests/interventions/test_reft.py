@@ -291,3 +291,67 @@ def test_intervention_save_load_roundtrip(tmp_path):
     after = np.asarray(rm2.interventions[0].rotate[...])
     assert not np.allclose(before, after)
     np.testing.assert_allclose(after, np.asarray(rm.interventions[0].rotate[...]))
+
+
+def test_skip_intervention_uses_same_example_layer_input():
+    """pyvene Skip semantics (interventions.py:166-186): the hooked block's
+    output is replaced by the SAME example's input to that block.  Expected
+    value constructed with a Vanilla interchange whose source is the
+    previous block's output collected from the same example."""
+    from sparse_matrix_fine_tuning_tpu.interventions.reft import (
+        ReftModel, SkipIntervention, VanillaIntervention)
+
+    cfg = LlamaConfig.tiny()
+    model = fresh_model(LlamaForCausalLM, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, cfg.vocab_size)
+    locs = jnp.asarray(np.array([[[0, 1, 2]], [[1, 2, 3]]]))  # (b, 1, p)
+    L = 1
+
+    skip = ReftModel(model, ReftConfig(representations=[
+        {"layer": L, "intervention": SkipIntervention}]))
+    got = skip.model(ids, layer_hooks=skip._hooks(locs))
+
+    vanilla = ReftModel(model, ReftConfig(representations=[
+        {"layer": L, "intervention": VanillaIntervention}]))
+    # collect at layer L-1 to get block L's input
+    collector = ReftModel(model, ReftConfig(representations=[
+        {"layer": L - 1, "intervention": "CollectIntervention"}]))
+    src = collector.collect_activations(ids, locs)
+    want = vanilla.model(ids, layer_hooks=vanilla._hooks(locs, sources=src))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pca_intervention_constructs_through_registry():
+    from sparse_matrix_fine_tuning_tpu.interventions.reft import ReftModel
+
+    cfg = LlamaConfig.tiny()
+    model = fresh_model(LlamaForCausalLM, cfg)
+    d = cfg.hidden_size
+    q, _ = np.linalg.qr(np.random.default_rng(0).normal(size=(d, d)))
+    reft = ReftModel(model, ReftConfig(representations=[{
+        "layer": 1, "intervention": "PCARotatedSpaceIntervention",
+        "pca_components": q.T.astype(np.float32),
+        "pca_mean": np.zeros(d, np.float32),
+        "pca_std": np.ones(d, np.float32),
+    }]))
+    assert reft.interventions[0].components[...].shape == (d, d)
+
+    import pytest
+    with pytest.raises(ValueError, match="pca_components"):
+        ReftModel(model, ReftConfig(representations=[
+            {"layer": 1, "intervention": "PCARotatedSpaceIntervention"}]))
+
+
+def test_noreft_dropout_active_in_training_mode():
+    from sparse_matrix_fine_tuning_tpu.interventions.reft import (
+        NoreftIntervention)
+
+    iv = NoreftIntervention(16, 4, dropout=0.5, rngs=nnx.Rngs(0))
+    h = jax.random.normal(jax.random.PRNGKey(4), (3, 16))
+    eval_out = np.asarray(iv(h))
+    iv.dropout.deterministic = False  # what model.train() flips
+    train_outs = {np.asarray(iv(h)).tobytes() for _ in range(4)}
+    assert len(train_outs) > 1  # random masks vary per call
+    iv.dropout.deterministic = True
+    np.testing.assert_array_equal(np.asarray(iv(h)), eval_out)

@@ -96,3 +96,19 @@ def test_multiplicative_dropout_replaces_blocks_in_training_only():
 
     layer.deterministic = True
     np.testing.assert_array_equal(np.asarray(layer(x)), eval_out)
+
+
+def test_bias_all_marks_every_bias_trainable():
+    """peft bias='all' trains every bias in the model, not just the
+    adapted layers' (bias='boft_only' covers only those)."""
+    cfg = RobertaConfig.tiny()
+    model = fresh_model(RobertaForSequenceClassification, cfg)
+    init_boft(model, dict(BOFT_CFG, bias="all"), rngs=nnx.Rngs(1))
+    from sparse_matrix_fine_tuning_tpu.layers.monarch_linear import (
+        AdapterParam)
+    n_bias = n_adapter_bias = 0
+    for path, leaf in nnx.to_flat_state(nnx.state(model)):
+        if path[-1] == "bias" and leaf.value is not None:
+            n_bias += 1
+            n_adapter_bias += isinstance(leaf, AdapterParam)
+    assert n_bias > 0 and n_adapter_bias == n_bias

@@ -128,7 +128,8 @@ def test_pca_rotated_space_roundtrip_and_swap():
     comps = q.T.astype(np.float32)  # (r=D, d) orthonormal rows
     mean = b.mean(0)
     std = b.std(0) + 0.1
-    iv = PCARotatedSpaceIntervention(comps, mean, std)
+    iv = PCARotatedSpaceIntervention(
+        D, pca_components=comps, pca_mean=mean, pca_std=std)
     got = iv(jnp.asarray(b), jnp.asarray(s))
     np.testing.assert_allclose(np.asarray(got), s, rtol=1e-4, atol=1e-4)
     # partial swap: only component 0 interchanged
