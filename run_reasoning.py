@@ -29,6 +29,7 @@ def parse_args():
     p = argparse.ArgumentParser(description="Reasoning fine-tuning (TPU-native MoRe)")
     p.add_argument("-task", "--task", default="math",
                    choices=["commonsense", "math", "alpaca", "gsm8k",
+                            "instruct", "ultrafeedback", "glue",
                             "tune_math", "tune_commonsense"])
     p.add_argument("-model", "--model", default="llama-2-7b")
     p.add_argument("-data_dir", "--data_dir", default="dataset")
@@ -66,6 +67,12 @@ def parse_args():
                    help="restrict eval to one dataset (default: all of the "
                         "task's eval datasets)")
     p.add_argument("-test_split", "--test_split", default="test")
+    p.add_argument("-allow_cls_grad", "--allow_cls_grad", action="store_true",
+                   help="glue task: unfreeze the classification head "
+                        "(reference loreft/train.py:182)")
+    p.add_argument("--metric_for_best_model", default=None,
+                   help="glue task: reported target metric (defaults to the "
+                        "task's GLUE metric)")
     p.add_argument("-t", "--temperature", default=None, type=float)
     p.add_argument("-top_p", "--top_p", default=None, type=float)
     p.add_argument("-top_k", "--top_k", default=None, type=int)
@@ -137,6 +144,107 @@ def build_model(args, peft_config):
     return model
 
 
+def moreft_glue_main(args, peft_config):
+    """Sequence classification through the ReFT wrapper (MoReFT GLUE,
+    reference moreft_glue.sh: train.py -task glue -train_dataset cola
+    -type MoReIntervention -p f1 --allow_cls_grad).  The intervention IS
+    the adapter here -- no Monarch surgery on the base model."""
+    import numpy as np
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.data.glue import (
+        TASK_NUM_LABELS, load_glue_raw)
+    from sparse_matrix_fine_tuning_tpu.data.reasoning import tokenize_glue_reft
+    from sparse_matrix_fine_tuning_tpu.data.tokenizer import (
+        SimpleTokenizer, get_tokenizer)
+    from sparse_matrix_fine_tuning_tpu.evaluation.predict import predict_logits
+    from sparse_matrix_fine_tuning_tpu.interventions import (
+        ReftConfig, get_reft_model)
+    from sparse_matrix_fine_tuning_tpu.models import (
+        RobertaConfig, RobertaForSequenceClassification)
+    from sparse_matrix_fine_tuning_tpu.peft import param_stats
+    from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
+    from sparse_matrix_fine_tuning_tpu.utils.metrics import (
+        GLUE_TARGET_METRIC, glue_compute)
+
+    task = args.train_dataset or "cola"
+    out_dir = os.path.join(args.output_dir, f"glue_{task}")
+    num_labels = TASK_NUM_LABELS[task]
+    tokenizer = (SimpleTokenizer(vocab_size=SMOKE_VOCAB) if args.smoke
+                 else get_tokenizer(args.model, vocab_size=50265))
+
+    if not args.smoke and os.path.isdir(args.model):
+        from sparse_matrix_fine_tuning_tpu.models.hf_convert import (
+            from_pretrained_roberta)
+        model = from_pretrained_roberta(args.model, num_labels=num_labels,
+                                        rngs=nnx.Rngs(args.seed))
+    else:
+        if not args.smoke:
+            print(f"[moreft-glue] no local weights at {args.model!r}; "
+                  "random tiny init")
+        cfg = RobertaConfig.tiny(num_labels=num_labels,
+                                 vocab_size=SMOKE_VOCAB)
+        model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(args.seed))
+
+    n_model_layers = model.config.num_hidden_layers
+    layers = (list(range(n_model_layers)) if args.layers == "all"
+              else [int(x) for x in str(args.layers).split(";")])
+    if "+" in args.position and not args.share_weights:
+        layers = layers + layers
+    itype = args.intervention_type
+    if itype in ("Nothing", "NoIntervention"):
+        # the intervention carries the adaptation in this flow
+        itype = "MoReIntervention"
+    reps = [{"layer": l, "component": "block_output", "intervention": itype,
+             "low_rank_dimension": args.rank} for l in layers]
+    model = get_reft_model(model, ReftConfig(representations=reps),
+                           rngs=nnx.Rngs(args.seed + 2))
+    print(f"[moreft-glue] {itype} on layers {layers} ({task})")
+    param_stats(model)
+
+    splits = load_glue_raw(task, smoke=args.smoke)
+    data = tokenize_glue_reft(
+        task, splits, tokenizer, position=args.position,
+        num_interventions=len(layers), share_weights=args.share_weights,
+        max_seq_length=args.max_length)
+    train_data = data["train"]
+    eval_split = "validation" if "validation" in data else args.test_split
+    val = data.get(eval_split)
+
+    def cls_loss(model, batch, train):
+        logits = model(batch["input_ids"],
+                       attention_mask=batch["attention_mask"],
+                       intervention_locations=batch["intervention_locations"])
+        return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
+
+    ta = TrainingArgs(
+        output_dir=out_dir, learning_rate=args.lr,
+        num_train_epochs=args.epochs,
+        per_device_train_batch_size=args.batch_size,
+        per_device_eval_batch_size=args.eval_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        weight_decay=args.weight_decay, warmup_ratio=args.warmup_ratio,
+        lr_scheduler_type=args.schedule, logging_steps=args.logging_steps,
+        max_steps=args.max_steps, log_param_steps=0, seed=args.seed)
+    trainer = Trainer(
+        model, ta, train_data=train_data, loss_fn=cls_loss,
+        extra_trainable_paths=("classifier",) if args.allow_cls_grad else ())
+    trainer.train()
+
+    metrics = {}
+    if val is not None:
+        logits = predict_logits(model, val, batch_size=args.eval_batch_size,
+                                locations=val["intervention_locations"])
+        preds = logits[:, 0] if logits.shape[-1] == 1 else logits.argmax(-1)
+        metrics = glue_compute(task, preds, np.asarray(val["labels"]))
+        target = args.metric_for_best_model or GLUE_TARGET_METRIC[task]
+        print(json.dumps({f"eval_{k}": round(float(v), 5)
+                          for k, v in metrics.items()} | {"target": target}))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f)
+    return metrics
+
+
 def main():
     args, overrides = parse_args()
     import numpy as np
@@ -158,6 +266,9 @@ def main():
     extra = override_config([peft_config, args], overrides)
     if extra:
         print(f"[reasoning] unmatched overrides: {extra}")
+
+    if args.task == "glue":
+        return moreft_glue_main(args, peft_config)
 
     task = args.task
     tcfg = TASK_CONFIG[task]

@@ -73,6 +73,35 @@ TASK_CONFIG = {
                     "top_k": 40, "do_sample": True},
         },
     },
+    # alpaca-shaped instruction-tuning tasks (reference task_config.py:122-159;
+    # items carry instruction/input/output fields)
+    "instruct": {
+        "train_datasets": ["instruct"],
+        "eval_datasets": ["alpaca_eval"],
+        "task_prompt_template": alpaca_prompt_template,
+        "trigger_tokens": "### Response:",
+        "generation_args": {
+            True: {"max_length": 2048, "do_sample": False},
+            False: {"max_length": 2048, "no_repeat_ngram_size": 5,
+                    "repetition_penalty": 1.1, "do_sample": False},
+        },
+    },
+    "ultrafeedback": {
+        "train_datasets": ["ultrafeedback"],
+        "eval_datasets": ["alpaca_eval"],
+        "task_prompt_template": alpaca_prompt_template,
+        "trigger_tokens": "### Response:",
+        "generation_args": {
+            True: {"max_length": 2048, "do_sample": False},
+            False: {"max_length": 2048, "no_repeat_ngram_size": 5,
+                    "repetition_penalty": 1.1, "do_sample": False},
+        },
+    },
+    # sequence classification through the ReFT wrapper (MoReFT GLUE,
+    # reference moreft_glue.sh + task_config.py:160); datasets come from
+    # the GLUE loaders, not this registry
+    "glue": {"train_datasets": None, "eval_datasets": None,
+             "task_prompt_template": None, "trigger_tokens": None},
 }
 # HPO variants evaluate on a held-out slice of the train set
 TASK_CONFIG["tune_math"] = dict(TASK_CONFIG["math"],
@@ -137,7 +166,8 @@ def build_prompt(task: str, item: dict, tokenizer_eos: str = "</s>"):
     elif base_task == "math":
         prompt = tpl % item["instruction"]
         full = prompt + item["output"] + tokenizer_eos
-    elif base_task == "alpaca":
+    elif base_task in ("alpaca", "instruct", "ultrafeedback"):
+        # identical formatting for all three (reference dataset.py:217-221)
         if not item.get("input"):
             prompt = alpaca_prompt_no_input_template % item["instruction"]
         else:
@@ -280,3 +310,30 @@ def tokenize_reasoning(task: str, items: Sequence[dict], tokenizer,
     if split == "train":
         out["labels"] = labels_arr
     return out
+
+
+def tokenize_glue_reft(task: str, splits: dict, tokenizer, *,
+                       position: str = "f1", num_interventions: int = 1,
+                       share_weights: bool = False,
+                       max_seq_length: int = 256):
+    """GLUE splits + per-example intervention locations for the MoReFT
+    classification flow (reference loreft/dataset.py LoReftGLUEDataset:
+    tokenize the sentence pair, locations over the example's REAL length,
+    pad_mode='last').  Returns {split: {input_ids, attention_mask, labels,
+    intervention_locations}}."""
+    from sparse_matrix_fine_tuning_tpu.data.glue import tokenize_glue
+
+    base = tokenize_glue(task, splits, tokenizer, max_seq_length)
+    first_n, last_n = parse_positions(position)
+    for data in base.values():
+        lens = data["attention_mask"].sum(-1)
+        locs = [get_intervention_locations(
+            last_position=int(L), first_n=first_n, last_n=last_n,
+            num_interventions=num_interventions, share_weights=share_weights,
+            pad_mode="last") for L in lens]
+        # pad_mode='last' fillers point one past the real tokens (the
+        # reference's appended pad slot); clip into the padded region so
+        # gathers stay in-bounds -- the slot is attention-masked either way
+        data["intervention_locations"] = np.clip(
+            np.asarray(locs, np.int32), 0, max_seq_length - 1)
+    return base

@@ -28,12 +28,23 @@ def _batch_logits(graphdef, state, ids, mask):
     return model(ids, mask)
 
 
-def predict_logits(model: nnx.Module, data, batch_size: int = 64) -> np.ndarray:
+@partial(jax.jit, static_argnums=0)
+def _batch_logits_locs(graphdef, state, ids, mask, locs):
+    # intervened classification (MoReFT GLUE): the eval forward must apply
+    # the same block-output interventions as training
+    model = nnx.merge(graphdef, state)
+    return model(ids, mask, intervention_locations=locs)
+
+
+def predict_logits(model: nnx.Module, data, batch_size: int = 64,
+                   locations=None) -> np.ndarray:
     """Run the classifier over ``data`` through one compiled function.
 
     Args:
       model: an NNX classification model taking (input_ids, attention_mask).
       data: dict with "input_ids" and "attention_mask" (array-likes, (n, L)).
+      locations: optional (n, num_interventions, p) intervention locations
+        for ReFT-wrapped classifiers (MoReFT GLUE).
     Returns:
       (n, num_labels) float32 logits.
 
@@ -44,17 +55,27 @@ def predict_logits(model: nnx.Module, data, batch_size: int = 64) -> np.ndarray:
     graphdef, state = nnx.split(model)
     ids = np.asarray(data["input_ids"])
     mask = np.asarray(data["attention_mask"])
+    locs = None if locations is None else np.asarray(locations)
     n = len(ids)
     outs = []
     for s in range(0, n, batch_size):
         b_ids, b_mask = ids[s:s + batch_size], mask[s:s + batch_size]
+        b_locs = None if locs is None else locs[s:s + batch_size]
         k = len(b_ids)
         if k < batch_size:  # pad tail to the compiled shape (data/mmlu.py:155-158)
             reps = batch_size - k
             b_ids = np.concatenate([b_ids, np.repeat(b_ids[-1:], reps, 0)])
             b_mask = np.concatenate([b_mask, np.repeat(b_mask[-1:], reps, 0)])
-        logits = _batch_logits(graphdef, state, jnp.asarray(b_ids),
-                               jnp.asarray(b_mask))
+            if b_locs is not None:
+                b_locs = np.concatenate(
+                    [b_locs, np.repeat(b_locs[-1:], reps, 0)])
+        if b_locs is None:
+            logits = _batch_logits(graphdef, state, jnp.asarray(b_ids),
+                                   jnp.asarray(b_mask))
+        else:
+            logits = _batch_logits_locs(graphdef, state, jnp.asarray(b_ids),
+                                        jnp.asarray(b_mask),
+                                        jnp.asarray(b_locs))
         outs.append(np.asarray(logits[:k], dtype=np.float32))
     if outs:
         return np.concatenate(outs)

@@ -165,6 +165,17 @@ def compute_reasoning_metrics(
             text = tokenizer.decode(
                 [t for t in out[j] if t != tokenizer.pad_token_id])
             raw_generation = extract_output(text, trigger)
+            if base_task in ("alpaca", "instruct", "ultrafeedback"):
+                # no EM for open-ended instruction tasks: dump generations
+                # in alpaca_eval format for external judging (reference
+                # compute_metrics.py:236-245)
+                generations.append({
+                    "instruction": example.get("instruction", ""),
+                    "output": raw_generation,
+                    "dataset": dataset_name,
+                    "generator": f"{task}_model",
+                })
+                continue
             norm = (lambda a: tokenizer.decode(
                 tokenizer.encode_ids(a, add_bos=False)))
             ok = score_generation(task, raw_generation, example, normalize=norm)
@@ -176,5 +187,8 @@ def compute_reasoning_metrics(
                 "answer": example.get("answer", ""),
                 "correct": bool(ok),
             })
+    if base_task in ("alpaca", "instruct", "ultrafeedback"):
+        # generations are the artifact; no accuracy is defined
+        return generations, {}
     acc = correct / max(total, 1)
     return generations, {f"eval/{dataset_name}": acc}

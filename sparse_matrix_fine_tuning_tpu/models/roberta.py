@@ -149,15 +149,33 @@ class RobertaModel(nnx.Module):
         self.layer = nnx.List([RobertaLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)])
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None, *,
-                 deterministic=None):
+                 deterministic=None, layer_hooks=None):
+        """layer_hooks: optional {layer_idx_or_(layer, "block_output"/
+        "block_input"): fn(hidden) -> hidden} activation-intervention hook
+        points (pyvene component addressing; same convention as
+        models/llama.py) -- enables the MoReFT GLUE flow (reference
+        moreft_glue.sh intervenes on RoBERTa block outputs)."""
         if attention_mask is None:
             attention_mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
         x = self.embeddings(input_ids, token_type_ids, deterministic=deterministic)
         # additive mask (b, 1, 1, t)
         bias = (1.0 - attention_mask[:, None, None, :].astype(x.dtype)) * jnp.asarray(
             -1e9, dtype=x.dtype)
-        for lyr in self.layer:
+        pre, post = {}, {}
+        for key, fn in (layer_hooks or {}).items():
+            if isinstance(key, tuple):
+                i, comp = key
+                assert comp in ("block_output", "block_input"), (
+                    f"unsupported RoBERTa hook component {comp!r}")
+                (post if comp == "block_output" else pre)[int(i)] = fn
+            else:
+                post[int(key)] = fn
+        for i, lyr in enumerate(self.layer):
+            if i in pre:
+                x = pre[i](x)
             x = lyr(x, bias, deterministic=deterministic)
+            if i in post:
+                x = post[i](x)
         return x
 
 
@@ -184,9 +202,10 @@ class RobertaForSequenceClassification(nnx.Module):
         self.classifier = RobertaClassificationHead(cfg, rngs=rngs)
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None, *,
-                 deterministic=None):
+                 deterministic=None, layer_hooks=None):
         hidden = self.roberta(input_ids, attention_mask, token_type_ids,
-                              deterministic=deterministic)
+                              deterministic=deterministic,
+                              layer_hooks=layer_hooks)
         return self.classifier(hidden, deterministic=deterministic)
 
     def loss(self, logits: Array, labels: Array, weights: Array | None = None) -> Array:

@@ -32,3 +32,24 @@ def test_reasoning_smoke_pipeline(tmp_path):
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
     recs = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
     assert any(k.startswith("watch/") for r in recs for k in r)
+
+
+def test_instruct_task_dumps_alpaca_eval_generations(tmp_path):
+    """instruct/ultrafeedback: open-ended tasks produce alpaca_eval-format
+    generation dumps instead of EM (reference compute_metrics.py:236-245)."""
+    import run_reasoning
+    argv = ["run_reasoning.py", "-task", "instruct", "--smoke=True",
+            "-p", "f5+l5", "-e", "1", "-batch_size", "4",
+            "-gradient_accumulation_steps", "1", "-max_length", "96",
+            f"--output_dir={tmp_path}", "--logging_steps=0",
+            "--max_n_train_example=16", "--max_n_eval_example=4"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        run_reasoning.main()
+    finally:
+        sys.argv = old
+    gen_path = os.path.join(str(tmp_path), "instruct", "generations.json")
+    gens = json.load(open(gen_path))
+    assert gens and {"instruction", "output", "dataset",
+                     "generator"} <= set(gens[0])

@@ -115,3 +115,36 @@ def test_roberta_dropout_follows_train_eval_mode():
     c = np.asarray(model(ids))
     d = np.asarray(model(ids))
     np.testing.assert_allclose(c, d)
+
+
+def test_roberta_layer_hooks_block_output_and_input():
+    """RoBERTa hook points (pyvene component addressing) actually fire and
+    alter the logits; unknown components are rejected."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from flax import nnx
+
+    from sparse_matrix_fine_tuning_tpu.models import (
+        RobertaConfig, RobertaForSequenceClassification)
+    from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
+
+    cfg = RobertaConfig.tiny(num_labels=2)
+    model = fresh_model(RobertaForSequenceClassification, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 4,
+                             cfg.vocab_size)
+    base = np.asarray(model(ids))
+    bumped = np.asarray(model(ids, layer_hooks={1: lambda h: h + 1.0}))
+    assert np.abs(bumped - base).max() > 1e-5
+    # uniform shifts/scales pass through LayerNorm almost unchanged, so the
+    # block_input perturbation must be non-uniform across features
+    pre = np.asarray(model(
+        ids, layer_hooks={(0, "block_input"): lambda h: jnp.flip(h, -1)}))
+    assert np.abs(pre - base).max() > 1e-5
+    # identity hooks leave logits exactly unchanged
+    same = np.asarray(model(
+        ids, layer_hooks={0: lambda h: h, (1, "block_input"): lambda h: h}))
+    np.testing.assert_array_equal(same, base)
+    with pytest.raises(AssertionError):
+        model(ids, layer_hooks={(0, "attention_output"): lambda h: h})
