@@ -279,6 +279,11 @@ def main():
     extra = override_config([data_args, train_args, peft_config], overrides)
     if extra:
         print(f"[run_glue] unmatched overrides: {extra}")
+    if "oft_dropout" in task_cfg:
+        # per-task BOFT dropout overrides the family peft_config value
+        # (reference run_glue.py:414 wires model_args.oft_dropout into
+        # peft_config["boft_dropout"])
+        peft_config["boft_dropout"] = task_cfg["oft_dropout"]
     task = data_args.task_name
     train_args.output_dir = os.path.join(train_args.output_dir, task)
     train_args.metric_for_best_model = GLUE_TARGET_METRIC[task]

@@ -125,23 +125,30 @@ def build_model(args, peft_config):
         # ReFT wrapper: block-output interventions at the chosen layers
         # (the production MoRe path passes Nothing -- math_monarch.sh:28)
         from sparse_matrix_fine_tuning_tpu.interventions import ReftConfig, get_reft_model
-        n_layers = model.config.num_hidden_layers
-        layers = (list(range(n_layers)) if args.layers == "all"
-                  else [int(x) for x in str(args.layers).split(";")])
-        if "+" in args.position and not args.share_weights:
-            # untied f/l positions: separate interventions for the first-n
-            # and last-n token groups (reference loreft/train.py:304-305
-            # doubles the layer list; locations emit left-half then
-            # right-half in the same order -- data/reasoning.py)
-            layers = layers + layers
-        reps = [{"layer": l, "component": "block_output",
-                 "intervention": args.intervention_type,
-                 "low_rank_dimension": args.rank} for l in layers]
+        layers, reps = _build_reft_reps(args, model.config.num_hidden_layers,
+                                        args.intervention_type)
         model = get_reft_model(model, ReftConfig(representations=reps),
                                rngs=nnx.Rngs(args.seed + 2))
         print(f"[reasoning] ReFT {args.intervention_type} on layers {layers}")
     param_stats(model)
     return model
+
+
+def _build_reft_reps(args, n_model_layers: int, intervention_type: str):
+    """(layers, representation dicts) for the ReFT wrapper: parse the
+    layer list, double it for untied f+l positions (reference
+    loreft/train.py:304-305; locations emit left-half then right-half in
+    the same order), and carry the dropout into each intervention
+    (reference train.py:147,166)."""
+    layers = (list(range(n_model_layers)) if args.layers == "all"
+              else [int(x) for x in str(args.layers).split(";")])
+    if "+" in args.position and not args.share_weights:
+        layers = layers + layers
+    reps = [{"layer": l, "component": "block_output",
+             "intervention": intervention_type,
+             "low_rank_dimension": args.rank,
+             "dropout": args.dropout or 0.0} for l in layers]
+    return layers, reps
 
 
 def moreft_glue_main(args, peft_config):
@@ -181,21 +188,18 @@ def moreft_glue_main(args, peft_config):
         if not args.smoke:
             print(f"[moreft-glue] no local weights at {args.model!r}; "
                   "random tiny init")
+        # vocab must cover the tokenizer's id range: ids past the embedding
+        # table would silently clip to the last row (degenerate training)
         cfg = RobertaConfig.tiny(num_labels=num_labels,
-                                 vocab_size=SMOKE_VOCAB)
+                                 vocab_size=tokenizer.vocab_size)
         model = RobertaForSequenceClassification(cfg, rngs=nnx.Rngs(args.seed))
 
-    n_model_layers = model.config.num_hidden_layers
-    layers = (list(range(n_model_layers)) if args.layers == "all"
-              else [int(x) for x in str(args.layers).split(";")])
-    if "+" in args.position and not args.share_weights:
-        layers = layers + layers
     itype = args.intervention_type
     if itype in ("Nothing", "NoIntervention"):
         # the intervention carries the adaptation in this flow
         itype = "MoReIntervention"
-    reps = [{"layer": l, "component": "block_output", "intervention": itype,
-             "low_rank_dimension": args.rank} for l in layers]
+    layers, reps = _build_reft_reps(args, model.config.num_hidden_layers,
+                                    itype)
     model = get_reft_model(model, ReftConfig(representations=reps),
                            rngs=nnx.Rngs(args.seed + 2))
     print(f"[moreft-glue] {itype} on layers {layers} ({task})")
@@ -207,7 +211,11 @@ def moreft_glue_main(args, peft_config):
         num_interventions=len(layers), share_weights=args.share_weights,
         max_seq_length=args.max_length)
     train_data = data["train"]
-    eval_split = "validation" if "validation" in data else args.test_split
+    # MNLI names its splits validation_matched/mismatched (run_glue.py does
+    # the same matched-split defaulting)
+    eval_split = ("validation_matched" if task == "mnli" else "validation")
+    if eval_split not in data:
+        eval_split = args.test_split
     val = data.get(eval_split)
 
     def cls_loss(model, batch, train):
@@ -378,6 +386,14 @@ def main():
     smoke_new = 8 if args.smoke else None
 
     if args.do_tune:
+        if task.replace("tune_", "") in ("alpaca", "instruct", "ultrafeedback"):
+            raise SystemExit(
+                f"--do_tune is meaningless for open-ended task {task!r}: it "
+                "produces alpaca_eval generation dumps, not an EM metric, so "
+                "every trial would tie at 'worst'.  Tune on tune_math / "
+                "tune_commonsense, or the alpaca flow's MMLU metric via "
+                "run_alpaca.py --do_tune (reference tunes qlora on "
+                "eval_mmlu_eval_accuracy)")
         space = {"learning_rate": loguniform(5e-5, 1e-3),
                  "blk_r": choice([2, 4, 8]), "nblocks": choice([2, 4])}
 

@@ -101,7 +101,10 @@ class NoreftIntervention(nnx.Module):
 
 class ConsreftIntervention(nnx.Module):
     def __init__(self, embed_dim: int, low_rank_dimension: int, *,
-                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+                 param_dtype=jnp.float32, rngs: nnx.Rngs, **_):
+        # **_: tolerate shared rep kwargs like dropout, which Consreft has
+        # no use for (the reference's ConstantSourceIntervention base
+        # swallows unknown kwargs the same way)
         k1, k2 = jax.random.split(rngs.params())
         self.rotate = AdapterParam(_ortho_init(k1, (embed_dim, low_rank_dimension),
                                                param_dtype))
@@ -243,7 +246,7 @@ class RotatedSpaceIntervention(nnx.Module):
 
     def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
                  subspace_partition=None, param_dtype=jnp.float32,
-                 rngs: nnx.Rngs):
+                 rngs: nnx.Rngs, **_):
         self.skew = AdapterParam(jax.random.normal(
             rngs.params(), (embed_dim, embed_dim), param_dtype) * 0.01)
         self.subspace_partition = subspace_partition
@@ -272,7 +275,7 @@ class LowRankRotatedSpaceIntervention(nnx.Module):
 
     def __init__(self, embed_dim: int, low_rank_dimension: int, *,
                  subspace_partition=None, param_dtype=jnp.float32,
-                 rngs: nnx.Rngs):
+                 rngs: nnx.Rngs, **_):
         self.free = AdapterParam(_ortho_init(
             rngs.params(), (embed_dim, low_rank_dimension), param_dtype))
         self.low_rank_dimension = low_rank_dimension
@@ -343,7 +346,7 @@ class BoundlessRotatedSpaceIntervention(nnx.Module):
     via ``set_temperature``."""
 
     def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
-                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+                 param_dtype=jnp.float32, rngs: nnx.Rngs, **_):
         self.skew = AdapterParam(jax.random.normal(
             rngs.params(), (embed_dim, embed_dim), param_dtype) * 0.01)
         # boundary fraction in (0, 1], init 0.5 (reference :288)
@@ -378,7 +381,7 @@ class SigmoidMaskRotatedSpaceIntervention(nnx.Module):
     (mask ~ 1 everywhere), temperature 50, annealed externally."""
 
     def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
-                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+                 param_dtype=jnp.float32, rngs: nnx.Rngs, **_):
         self.skew = AdapterParam(jax.random.normal(
             rngs.params(), (embed_dim, embed_dim), param_dtype) * 0.01)
         self.masks = AdapterParam(jnp.full((embed_dim,), 100.0, param_dtype))
@@ -405,7 +408,7 @@ class SigmoidMaskIntervention(nnx.Module):
     (sigmoid = 0.5 everywhere), temperature 0.01."""
 
     def __init__(self, embed_dim: int, low_rank_dimension: int = 0, *,
-                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+                 param_dtype=jnp.float32, rngs: nnx.Rngs, **_):
         self.mask = AdapterParam(jnp.zeros((embed_dim,), param_dtype))
         self.temperature = nnx.Variable(jnp.asarray(0.01, jnp.float32))
 
