@@ -163,33 +163,48 @@ class VanillaIntervention(nnx.Module):
     VanillaIntervention): used through ``ReftModel.swap_forward``."""
 
     def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
-                 rngs: Optional[nnx.Rngs] = None, **_):
-        pass
+                 subspace_partition=None, rngs: Optional[nnx.Rngs] = None, **_):
+        self.subspace_partition = subspace_partition
 
-    def __call__(self, h: Array, source: Optional[Array] = None) -> Array:
-        return h if source is None else source.astype(h.dtype)
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        mask = _subspace_mask(h.shape[-1], subspaces,
+                              self.subspace_partition, h.dtype)
+        return h + mask * (source.astype(h.dtype) - h)
 
 
 class AdditionIntervention(nnx.Module):
     """base + source (reference pyvene AdditionIntervention)."""
 
     def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
-                 rngs: Optional[nnx.Rngs] = None, **_):
-        pass
+                 subspace_partition=None, rngs: Optional[nnx.Rngs] = None, **_):
+        self.subspace_partition = subspace_partition
 
-    def __call__(self, h: Array, source: Optional[Array] = None) -> Array:
-        return h if source is None else h + source.astype(h.dtype)
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        mask = _subspace_mask(h.shape[-1], subspaces,
+                              self.subspace_partition, h.dtype)
+        return h + mask * source.astype(h.dtype)
 
 
 class SubtractionIntervention(nnx.Module):
     """base - source (reference pyvene SubtractionIntervention)."""
 
     def __init__(self, embed_dim: int = 0, low_rank_dimension: int = 0, *,
-                 rngs: Optional[nnx.Rngs] = None, **_):
-        pass
+                 subspace_partition=None, rngs: Optional[nnx.Rngs] = None, **_):
+        self.subspace_partition = subspace_partition
 
-    def __call__(self, h: Array, source: Optional[Array] = None) -> Array:
-        return h if source is None else h - source.astype(h.dtype)
+    def __call__(self, h: Array, source: Optional[Array] = None,
+                 subspaces=None) -> Array:
+        if source is None:
+            return h
+        mask = _subspace_mask(h.shape[-1], subspaces,
+                              self.subspace_partition, h.dtype)
+        return h - mask * source.astype(h.dtype)
 
 
 class CollectIntervention(nnx.Module):
@@ -229,6 +244,8 @@ def _subspace_mask(dim: int, subspaces, subspace_partition, dtype) -> Array:
         idx = [i for s in subspaces for i in subspace_partition[s]]
     else:
         idx = list(subspaces)
+    if not idx:
+        return jnp.zeros((dim,), dtype)
     return jnp.zeros((dim,), dtype).at[jnp.asarray(idx)].set(1)
 
 
@@ -523,6 +540,32 @@ class ReftConfig:
     representations: Sequence[dict] = ()
 
 
+def _subspaces_for(subspaces, i):
+    """Resolve the static per-intervention subspace selection: None, a flat
+    int list shared by all interventions, or one list (or None) per
+    intervention, mirroring pyvene's forward(subspaces=...) broadcast."""
+    if subspaces is None:
+        return None
+    if all(isinstance(s, int) for s in subspaces):
+        return list(subspaces)
+    return subspaces[i]
+
+
+def _bind_subspaces(iv, sub):
+    """Close a subspace selection over an intervention call.  Checked at
+    hook-build (trace) time so unsupported classes fail with a clear error
+    instead of a TypeError from deep inside the jit trace."""
+    if sub is None:
+        return iv
+    import inspect
+    if "subspaces" not in inspect.signature(type(iv).__call__).parameters:
+        raise ValueError(
+            f"{type(iv).__name__} does not support subspaces; use a "
+            "subspace-aware intervention (Vanilla/Addition/Subtraction/"
+            "RotatedSpace family)")
+    return lambda h, source=None: iv(h, source=source, subspaces=sub)
+
+
 def _chain(prev, fn):
     """Compose two same-site hooks in registration order (untied f+l
     positions register several interventions on one layer)."""
@@ -593,27 +636,32 @@ class ReftModel(nnx.Module):
         return intervention_locations[
             :, min(i, intervention_locations.shape[1] - 1)]
 
-    def _hooks(self, intervention_locations, sources=None):
+    def _hooks(self, intervention_locations, sources=None, subspaces=None):
         """intervention_locations: (b, num_interventions, p) from the data
         pipeline.  sources: optional {i: (b, p, d)} source activations for
-        interchange interventions.  Returns {layer_or_(layer, comp): fn}."""
+        interchange interventions.  subspaces: optional static subspace
+        selection (pyvene forward(subspaces=...)): a flat index/partition-id
+        list shared by every intervention, or one list per intervention.
+        Returns {layer_or_(layer, comp): fn}."""
         hooks = {}
         for i, iv in enumerate(self.interventions):
             if isinstance(iv, NoIntervention):
                 continue
             locs = self._locs(intervention_locations, i)
+            sub = _subspaces_for(subspaces, i)
             if isinstance(iv, SkipIntervention):
-                self._add_skip_hooks(hooks, iv, i, locs)
+                self._add_skip_hooks(hooks, iv, i, locs, sub)
                 continue
             src = (sources or {}).get(i)
-            fn = (lambda iv, locs, src:
-                  lambda x: apply_at_positions(x, locs, iv, source=src)
-                  )(iv, locs, src)
+            fn = (lambda iv, locs, src, sub:
+                  lambda x: apply_at_positions(x, locs, _bind_subspaces(iv, sub),
+                                               source=src)
+                  )(iv, locs, src, sub)
             prev = hooks.get(self._key(i))
             hooks[self._key(i)] = fn if prev is None else _chain(prev, fn)
         return hooks
 
-    def _add_skip_hooks(self, hooks, iv, i, locs):
+    def _add_skip_hooks(self, hooks, iv, i, locs, sub=None):
         """SkipIntervention's ``source`` is the SAME example's input to the
         hooked block (pyvene interventions.py:172).  The input to block L is
         block L-1's output, captured at that (remat-safe) block-output hook
@@ -643,7 +691,8 @@ class ReftModel(nnx.Module):
             assert "src" in cap, (
                 "SkipIntervention capture hook did not run before the skip "
                 "site -- hook ordering bug")
-            return apply_at_positions(x, locs, iv, source=cap["src"])
+            return apply_at_positions(x, locs, _bind_subspaces(iv, sub),
+                                      source=cap["src"])
 
         cap_key = (0, "block_input") if layer == 0 else layer - 1
         for key, fn in ((cap_key, capture), (layer, skip_fn)):
@@ -673,15 +722,19 @@ class ReftModel(nnx.Module):
         return collected
 
     def swap_forward(self, base_ids, source_ids, *, base_locations,
-                     source_locations, base_mask=None, source_mask=None, **kw):
+                     source_locations, base_mask=None, source_mask=None,
+                     subspaces=None, **kw):
         """pyvene's source->base interchange forward (reference
         intervenable_base.py:1186 ``unit_locations={"sources->base":
         (source_locs, base_locs)}``): activations collected from the SOURCE
         example at source_locations replace/combine into the BASE forward at
-        base_locations, per each intervention's semantics."""
+        base_locations, per each intervention's semantics.  ``subspaces``
+        restricts the interchange to the given (static) coordinate indices
+        or partition ids (pyvene forward(subspaces=...))."""
         sources = self.collect_activations(
             source_ids, source_locations, attention_mask=source_mask, **kw)
-        hooks = self._hooks(base_locations, sources=sources)
+        hooks = self._hooks(base_locations, sources=sources,
+                            subspaces=subspaces)
         return self.model(base_ids, attention_mask=base_mask,
                           layer_hooks=hooks, **kw)
 
@@ -726,8 +779,8 @@ class ReftModel(nnx.Module):
             nnx.update(iv, jax.tree_util.tree_unflatten(treedef, new))
 
     def __call__(self, input_ids, attention_mask=None,
-                 intervention_locations=None, **kw):
-        hooks = self._hooks(intervention_locations) \
+                 intervention_locations=None, subspaces=None, **kw):
+        hooks = self._hooks(intervention_locations, subspaces=subspaces) \
             if intervention_locations is not None else None
         # callers (e.g. generate's prefill) may pass pre-built layer_hooks
         extern = kw.pop("layer_hooks", None)

@@ -355,3 +355,70 @@ def test_noreft_dropout_active_in_training_mode():
     assert len(train_outs) > 1  # random masks vary per call
     iv.dropout.deterministic = True
     np.testing.assert_array_equal(np.asarray(iv(h)), eval_out)
+
+
+def test_swap_forward_subspaces_restrict_the_interchange():
+    """pyvene forward(subspaces=...): a Vanilla interchange restricted to a
+    coordinate subset must (a) equal the full swap when all dims are listed,
+    (b) differ from both no-swap and full-swap on a strict subset, and
+    (c) honour per-intervention nested lists and partition ids."""
+    from sparse_matrix_fine_tuning_tpu.interventions.reft import (
+        ReftConfig, ReftModel)
+    cfg = LlamaConfig.tiny()
+    d = cfg.hidden_size
+    base_model = fresh_model(LlamaForCausalLM, cfg)
+    rm = ReftModel(base_model, ReftConfig(representations=[
+        {"layer": 0, "component": "block_output",
+         "intervention": "VanillaIntervention"}]), rngs=nnx.Rngs(1))
+    base_ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3,
+                                  cfg.vocab_size)
+    src_ids = jax.random.randint(jax.random.PRNGKey(9), (2, 8), 3,
+                                 cfg.vocab_size)
+    locs = jnp.broadcast_to(jnp.arange(3)[None, None, :], (2, 1, 3))
+    kw = dict(base_locations=locs, source_locations=locs)
+
+    plain = np.asarray(base_model(base_ids))
+    full = np.asarray(rm.swap_forward(base_ids, src_ids, **kw))
+    all_dims = np.asarray(rm.swap_forward(base_ids, src_ids,
+                                          subspaces=list(range(d)), **kw))
+    np.testing.assert_allclose(all_dims, full, rtol=1e-5, atol=1e-5)
+
+    half = np.asarray(rm.swap_forward(base_ids, src_ids,
+                                      subspaces=list(range(d // 2)), **kw))
+    assert not np.allclose(half, plain) and not np.allclose(half, full)
+
+    # nested per-intervention list resolves to the same selection
+    nested = np.asarray(rm.swap_forward(base_ids, src_ids,
+                                        subspaces=[list(range(d // 2))], **kw))
+    np.testing.assert_allclose(nested, half, rtol=1e-5, atol=1e-5)
+
+    # empty selection swaps nothing
+    none_sel = np.asarray(rm.swap_forward(base_ids, src_ids, subspaces=[[]],
+                                          **kw))
+    np.testing.assert_allclose(none_sel, plain, rtol=1e-5, atol=1e-5)
+
+    # partition ids: partition 0 = first half of the dims
+    rm_part = ReftModel(base_model, ReftConfig(representations=[
+        {"layer": 0, "component": "block_output",
+         "intervention": "VanillaIntervention",
+         "subspace_partition": [list(range(d // 2)),
+                                list(range(d // 2, d))]}]), rngs=nnx.Rngs(1))
+    part = np.asarray(rm_part.swap_forward(base_ids, src_ids, subspaces=[0],
+                                           **kw))
+    np.testing.assert_allclose(part, half, rtol=1e-5, atol=1e-5)
+
+
+def test_subspaces_unsupported_intervention_raises():
+    import pytest
+
+    from sparse_matrix_fine_tuning_tpu.interventions.reft import (
+        ReftConfig, ReftModel)
+    cfg = LlamaConfig.tiny()
+    model = fresh_model(LlamaForCausalLM, cfg)
+    rm = ReftModel(model, ReftConfig(representations=[
+        {"layer": 0, "intervention": "LoreftIntervention",
+         "low_rank_dimension": 2}]), rngs=nnx.Rngs(1))
+    ids = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 3, cfg.vocab_size)
+    locs = jnp.zeros((1, 1, 2), jnp.int32)
+    with pytest.raises(ValueError, match="does not support subspaces"):
+        rm(ids, intervention_locations=locs, subspaces=[0, 1])
