@@ -140,3 +140,54 @@ def test_pca_rotated_space_roundtrip_and_swap():
     rb[:, 0] = rs[:, 0]
     want = (rb @ comps) * std + mean
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_vanilla_family_subspace_masks_match_reference():
+    """Vanilla/Addition/Subtraction restricted to a subspace selection must
+    reproduce pyvene's _do_intervention_by_swap masking (reference
+    intervention_utils.py), for flat index lists and partition ids."""
+    from pyvene.models.interventions import (
+        AdditionIntervention as RefAdd,
+        SubtractionIntervention as RefSub,
+        VanillaIntervention as RefVanilla,
+    )
+
+    from sparse_matrix_fine_tuning_tpu.interventions.reft import (
+        AdditionIntervention,
+        SubtractionIntervention,
+        VanillaIntervention,
+    )
+
+    b, s = _pair(7)
+    idx = [0, 3, 5, 11]
+    partition = [[0, 3, 5, 11], [i for i in range(D) if i not in (0, 3, 5, 11)]]
+    cases = [(RefVanilla, VanillaIntervention), (RefAdd, AdditionIntervention),
+             (RefSub, SubtractionIntervention)]
+    for ref_cls, our_cls in cases:
+        # flat coordinate indices (pyvene batched form: same list per example)
+        ref = ref_cls(embed_dim=D)
+        ref.set_interchange_dim(D)
+        want = ref(torch.tensor(b.copy()), torch.tensor(s),
+                   subspaces=[list(idx)] * b.shape[0]).detach().numpy()
+        got = our_cls(D)(jnp.asarray(b), jnp.asarray(s), subspaces=idx)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-6, err_msg=ref_cls.__name__)
+
+        # partition ids resolved through subspace_partition
+        ref_p = ref_cls(embed_dim=D, subspace_partition=partition)
+        ref_p.set_interchange_dim(D)
+        want_p = ref_p(torch.tensor(b.copy()), torch.tensor(s),
+                       subspaces=[[0]] * b.shape[0]).detach().numpy()
+        got_p = our_cls(D, subspace_partition=partition)(
+            jnp.asarray(b), jnp.asarray(s), subspaces=[0])
+        np.testing.assert_allclose(np.asarray(got_p), want_p, rtol=1e-5,
+                                   atol=1e-6, err_msg=ref_cls.__name__)
+
+        # no subspaces: full interchange_dim behaviour unchanged
+        ref_f = ref_cls(embed_dim=D)
+        ref_f.set_interchange_dim(D)
+        want_f = ref_f(torch.tensor(b.copy()),
+                       torch.tensor(s)).detach().numpy()
+        got_f = our_cls(D)(jnp.asarray(b), jnp.asarray(s))
+        np.testing.assert_allclose(np.asarray(got_f), want_f, rtol=1e-5,
+                                   atol=1e-6, err_msg=ref_cls.__name__)
