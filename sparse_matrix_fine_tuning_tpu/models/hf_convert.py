@@ -29,7 +29,15 @@ def _np(t) -> np.ndarray:
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a state dict from an HF checkpoint dir."""
+    """Read a state dict from an HF checkpoint dir or a single
+    ``.safetensors`` / ``.bin`` / ``.pt`` file."""
+    if os.path.isfile(path):
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            return load_file(path)
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: _np(v) for k, v in sd.items()}
     st_path = os.path.join(path, "model.safetensors")
     if os.path.exists(st_path):
         from safetensors.numpy import load_file

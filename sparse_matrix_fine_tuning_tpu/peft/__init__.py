@@ -1,4 +1,7 @@
 from sparse_matrix_fine_tuning_tpu.peft.boft import BOFTLinear, init_boft
+from sparse_matrix_fine_tuning_tpu.peft.import_reference import (
+    load_reference_adapters,
+)
 from sparse_matrix_fine_tuning_tpu.peft.surgery import (
     disable_merged_training,
     enable_merged_training,
@@ -20,6 +23,7 @@ __all__ = [
     "find_all_linear_names",
     "init_lora",
     "init_monarch",
+    "load_reference_adapters",
     "merge_all_adapters",
     "param_stats",
     "refresh_merged",
