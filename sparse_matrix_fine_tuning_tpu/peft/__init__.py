@@ -1,6 +1,8 @@
 from sparse_matrix_fine_tuning_tpu.peft.boft import BOFTLinear, init_boft
 from sparse_matrix_fine_tuning_tpu.peft.import_reference import (
+    export_reference_adapters,
     load_reference_adapters,
+    save_reference_adapters,
 )
 from sparse_matrix_fine_tuning_tpu.peft.surgery import (
     disable_merged_training,
@@ -22,8 +24,10 @@ __all__ = [
     "enable_merged_training",
     "find_all_linear_names",
     "init_lora",
+    "export_reference_adapters",
     "init_monarch",
     "load_reference_adapters",
+    "save_reference_adapters",
     "merge_all_adapters",
     "param_stats",
     "refresh_merged",

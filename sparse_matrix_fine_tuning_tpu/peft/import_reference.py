@@ -24,7 +24,8 @@ from typing import Dict, List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["load_reference_adapters"]
+__all__ = ["load_reference_adapters", "export_reference_adapters",
+           "save_reference_adapters"]
 
 # final path components this importer understands
 _FACTORS = ("blkdiag1", "blkdiag2", "blkdiag_mult")
@@ -120,3 +121,55 @@ def load_reference_adapters(model, state_dict: Dict, *,
             continue
         loaded.append(key)
     return loaded, skipped
+
+
+def export_reference_adapters(model, extra_paths=None) -> Dict[str, np.ndarray]:
+    """The reverse direction: our trained adapter state as a torch-style
+    state_dict with the REFERENCE's key paths, so checkpoints trained here
+    validate/serve with the reference (or any torch consumer of its
+    trainable-only format).
+
+    Exports exactly what ``trainable_filter`` selects (AdapterParam/LoRAParam
+    leaves + head paths), with ``kernel``->``weight`` transposed back to the
+    torch orientation and ``roberta.layer``/``deberta.layer`` rewritten to
+    the torch ``encoder.layer`` nesting.
+    """
+    from flax import nnx
+
+    from sparse_matrix_fine_tuning_tpu.peft.surgery import (
+        DEFAULT_TRAINABLE_PATHS,
+        trainable_filter,
+    )
+    filt = trainable_filter(tuple(extra_paths) if extra_paths is not None
+                            else DEFAULT_TRAINABLE_PATHS)
+    out: Dict[str, np.ndarray] = {}
+    for path, leaf in nnx.state(model, filt).flat_state():
+        toks = [str(getattr(p, "key", p)) for p in path]
+        # torch nests encoder-family layer stacks one level deeper
+        fixed = []
+        for i, tok in enumerate(toks):
+            if tok == "layer" and i > 0 and toks[i - 1] in ("roberta",
+                                                            "deberta"):
+                fixed.append("encoder")
+            fixed.append(tok)
+        value = np.asarray(leaf[...])
+        if fixed[-1] == "kernel":
+            fixed[-1] = "weight"
+            if value.ndim == 2:
+                value = value.T
+        elif fixed[-1] == "scale":  # LayerNorm scale -> torch weight
+            fixed[-1] = "weight"
+        out[".".join(fixed)] = value
+    return out
+
+
+def save_reference_adapters(model, path: str, extra_paths=None) -> None:
+    """Write ``export_reference_adapters`` output as a torch ``.bin`` (or
+    ``.safetensors`` when the path says so) the reference can load."""
+    sd = export_reference_adapters(model, extra_paths)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import save_file
+        save_file(sd, path)
+    else:
+        import torch
+        torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)

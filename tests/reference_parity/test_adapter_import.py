@@ -176,3 +176,34 @@ def test_import_llama_style_keys_roundtrip():
             mod = mod[int(tok)] if tok.isdigit() else getattr(mod, tok)
         np.testing.assert_array_equal(
             np.asarray(getattr(mod, parts[-1])[...]), v)
+
+
+def test_export_reference_adapters_roundtrip(ref, ref_train_utils):
+    """Reverse migration: adapters trained HERE export to the reference's
+    key format and load into the reference's own torch modules with logit
+    parity (train-mode forwards; dropout 0)."""
+    from sparse_matrix_fine_tuning_tpu.peft import export_reference_adapters
+
+    hf_model, model, _ = _reference_trained_pair(ref_train_utils, steps=0)
+
+    # "train" our side: perturb every adapter factor + the classifier
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        for name in ("query", "value"):
+            ol = getattr(model.roberta.layer[i].attention.self, name)
+            for leaf in ("blkdiag1", "blkdiag2"):
+                p = getattr(ol, leaf)
+                p.set_value(jnp.asarray(
+                    rng.normal(0, 0.05, p[...].shape).astype(np.float32)))
+    model.classifier.dense.kernel.set_value(jnp.asarray(
+        rng.normal(0, 0.05, (32, 32)).astype(np.float32)))
+
+    sd = export_reference_adapters(model)
+    assert "roberta.encoder.layer.0.attention.self.query.blkdiag1" in sd
+    assert "classifier.dense.weight" in sd
+    missing, unexpected = hf_model.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("blkdiag" not in k and "classifier" not in k for k in missing)
+
+    _logits_match(hf_model, model, atol=2e-5)
