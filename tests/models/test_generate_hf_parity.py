@@ -1,0 +1,107 @@
+"""Differential decode parity vs HF transformers ``generate`` (torch, CPU).
+
+The reasoning harness scores EM on generated text (reference
+compute_metrics.py:158-187 drives HF ``generate``); with identical weights
+our greedy decode must produce the exact same token sequences, and beam
+search the same sequences under matched (length_penalty=1.0,
+early_stopping) semantics.  Tiny random Llama, weights synced through
+``hf_convert.load_llama``.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+from sparse_matrix_fine_tuning_tpu.models.generate import (
+    GenerationConfig,
+    generate,
+)
+from sparse_matrix_fine_tuning_tpu.models.hf_convert import load_llama
+from sparse_matrix_fine_tuning_tpu.utils.testing import fresh_model
+
+NEW = 10
+
+
+@pytest.fixture(scope="module")
+def pair():
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(0)
+    hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    model = fresh_model(LlamaForCausalLM, LlamaConfig.tiny())
+    load_llama(model, dict(hf_model.state_dict()))
+    model.eval()
+    return hf_model, model
+
+
+def _prompts(batch=3, t=9):
+    rng = np.random.default_rng(4)
+    ids = rng.integers(3, 256, size=(batch, t))
+    # left-pad one row to exercise the mask path (HF pads left for decoding)
+    mask = np.ones_like(ids)
+    ids[1, :3] = 0
+    mask[1, :3] = 0
+    return ids, mask
+
+
+def test_greedy_decode_matches_hf(pair):
+    hf_model, model = pair
+    ids, mask = _prompts()
+    with torch.no_grad():
+        want = hf_model.generate(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            max_new_tokens=NEW, do_sample=False, num_beams=1,
+            eos_token_id=None, pad_token_id=0).numpy()
+    got = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, eos_token_id=None)))
+    np.testing.assert_array_equal(got[:, -NEW:], want[:, -NEW:])
+
+
+def test_greedy_decode_matches_hf_with_eos(pair):
+    """EOS stopping: rows that hit EOS pad identically afterwards."""
+    hf_model, model = pair
+    ids, mask = _prompts()
+    # pick an eos likely to occur: run greedy once and use a token from it
+    probe = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, eos_token_id=None)))
+    eos = int(probe[0, -NEW + 2])
+    with torch.no_grad():
+        want = hf_model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_new_tokens=NEW, do_sample=False, num_beams=1,
+            eos_token_id=eos, pad_token_id=0).numpy()
+    got = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, eos_token_id=eos,
+                         pad_token_id=0)))
+    n = want.shape[1] - ids.shape[1]  # HF trims when every row finished
+    np.testing.assert_array_equal(got[:, ids.shape[1]:ids.shape[1] + n],
+                                  want[:, ids.shape[1]:])
+
+
+def test_beam4_decode_matches_hf(pair):
+    hf_model, model = pair
+    ids, mask = _prompts()
+    with torch.no_grad():
+        want = hf_model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_new_tokens=NEW, do_sample=False, num_beams=4,
+            length_penalty=1.0, early_stopping=True,
+            eos_token_id=None, pad_token_id=0).numpy()
+    got = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, num_beams=4,
+                         length_penalty=1.0, early_stopping=True,
+                         eos_token_id=None)))
+    np.testing.assert_array_equal(got[:, -NEW:], want[:, -NEW:])
