@@ -51,6 +51,7 @@ _SLOW_PATTERNS = (
     "tests/training/test_trainer.py",
     "tests/models/test_packing.py",
     "tests/models/test_generate.py",
+    "tests/models/test_generate_hf_parity.py",
     "tests/models/test_hf_parity.py",
     "tests/models/test_training_parity.py",
     "tests/kernels/test_merged.py",
