@@ -1,3 +1,6 @@
+from sparse_matrix_fine_tuning_tpu.interventions.pyvene_io import (
+    load_pyvene_interventions,
+)
 from sparse_matrix_fine_tuning_tpu.interventions.reft import (
     ConsreftIntervention,
     LoreftIntervention,
@@ -22,4 +25,5 @@ __all__ = [
     "ReftModel",
     "RotatedSpaceIntervention",
     "get_reft_model",
+    "load_pyvene_interventions",
 ]
