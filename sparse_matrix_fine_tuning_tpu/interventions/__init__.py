@@ -1,5 +1,6 @@
 from sparse_matrix_fine_tuning_tpu.interventions.pyvene_io import (
     load_pyvene_interventions,
+    save_pyvene_interventions,
 )
 from sparse_matrix_fine_tuning_tpu.interventions.reft import (
     ConsreftIntervention,
@@ -26,4 +27,5 @@ __all__ = [
     "RotatedSpaceIntervention",
     "get_reft_model",
     "load_pyvene_interventions",
+    "save_pyvene_interventions",
 ]

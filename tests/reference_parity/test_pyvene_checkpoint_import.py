@@ -135,3 +135,65 @@ def test_pyvene_import_unmatched_binary_raises(pv, ref_iv, tmp_path):
     loaded, skipped = load_pyvene_interventions(reft, str(tmp_path),
                                                 strict=False)
     assert not loaded and len(skipped) == 1
+
+
+@pytest.mark.parametrize("name,r,positions", [
+    ("Loreft", 4, POSITIONS),
+    ("Consreft", 4, [7]),
+    ("MoRe", 16, POSITIONS),
+])
+def test_export_to_pyvene_load_intervention(pv, ref_iv, tmp_path, name, r,
+                                            positions):
+    """Reverse direction: our (randomly-initialized) intervention state
+    exported as intkey bins loads onto the reference's IntervenableModel via
+    its own ``load_intervention`` with logit parity."""
+    from sparse_matrix_fine_tuning_tpu.interventions import (
+        save_pyvene_interventions)
+
+    hf_model, model = _models()
+    reft = ReftModel(model, ReftConfig(representations=[
+        {"layer": 0, "component": "block_output",
+         "intervention": f"{name}Intervention", "low_rank_dimension": r}]),
+        rngs=nnx.Rngs(11))
+    written = save_pyvene_interventions(reft, str(tmp_path))
+    assert written == ["intkey_layer.0.comp.block_output.unit.pos.nunit.1#0.bin"]
+
+    ref_cls = getattr(ref_iv, f"{name}Intervention")
+    riv = ref_cls(embed_dim=D, low_rank_dimension=r, dtype=torch.float32,
+                  dropout=0.0)
+    intervenable = pv.IntervenableModel(pv.IntervenableConfig(
+        representations=[{"layer": 0, "component": "block_output",
+                          "low_rank_dimension": r, "intervention": riv}]),
+        hf_model)
+    intervenable.disable_model_gradients()
+    if name == "MoRe":
+        # the reference's MoRe load_state_dict is broken upstream: it
+        # assumes a parametrized rotate_layer but MonarchFactor's
+        # parametrization is commented out (reference monarch_linear.py:
+        # 365-371), so IntervenableModel.load_intervention raises
+        # AttributeError.  Restore manually from the exported tensors --
+        # which is exactly what a fixed loader would do.
+        import os as _os
+        sd = torch.load(_os.path.join(str(tmp_path),
+                                      written[0]), weights_only=True)
+        with torch.no_grad():
+            riv.learned_source.weight.copy_(sd["learned_source.weight"])
+            riv.rotate_layer.weight.copy_(sd["rotate_layer"])
+    else:
+        intervenable.load_intervention(str(tmp_path), include_model=False)
+
+    ids = np.random.default_rng(6).integers(3, 256, size=(3, 9))
+    locs = [[positions] * 3]
+    with torch.no_grad():
+        _, out = intervenable(
+            base={"input_ids": torch.tensor(ids),
+                  "attention_mask": torch.ones(ids.shape, dtype=torch.long)},
+            unit_locations={"sources->base": (None, locs)})
+    want = out.logits.numpy()
+    got = np.asarray(reft(
+        jnp.asarray(ids), jnp.ones(ids.shape, jnp.int32),
+        intervention_locations=np.asarray(positions, np.int32)[None, None, :]
+        .repeat(3, axis=0)))
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+    plain = np.asarray(model(jnp.asarray(ids), jnp.ones(ids.shape, jnp.int32)))
+    assert np.abs(got - plain).max() > 1e-3
