@@ -229,7 +229,7 @@ def build_search_space(args, peft_config, train_args):
     return {
         "learning_rate": grid([1e-5, 2e-5, 3e-5]),
         "per_device_train_batch_size": grid([16, 32]),
-        "weight_decay": choice([0.1]),
+        "weight_decay": 0.1,  # pinned (reference tunes only lr/batch here)
         "lr_scheduler_type": grid(["cosine"]),
     }, args.n_trials or 1
 

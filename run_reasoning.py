@@ -163,7 +163,7 @@ def moreft_glue_main(args, peft_config):
     from sparse_matrix_fine_tuning_tpu.data.reasoning import tokenize_glue_reft
     from sparse_matrix_fine_tuning_tpu.data.tokenizer import (
         SimpleTokenizer, get_tokenizer)
-    from sparse_matrix_fine_tuning_tpu.evaluation.predict import predict_logits
+    from sparse_matrix_fine_tuning_tpu.evaluation.predict import predict_classes
     from sparse_matrix_fine_tuning_tpu.interventions import (
         ReftConfig, get_reft_model)
     from sparse_matrix_fine_tuning_tpu.models import (
@@ -240,9 +240,8 @@ def moreft_glue_main(args, peft_config):
 
     metrics = {}
     if val is not None:
-        logits = predict_logits(model, val, batch_size=args.eval_batch_size,
+        preds = predict_classes(model, val, batch_size=args.eval_batch_size,
                                 locations=val["intervention_locations"])
-        preds = logits[:, 0] if logits.shape[-1] == 1 else logits.argmax(-1)
         metrics = glue_compute(task, preds, np.asarray(val["labels"]))
         target = args.metric_for_best_model or GLUE_TARGET_METRIC[task]
         print(json.dumps({f"eval_{k}": round(float(v), 5)

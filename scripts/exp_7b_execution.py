@@ -165,9 +165,24 @@ def drive():
         print(f"=== {label}: {layers}L x {hidden}h/{inter}i ===", flush=True)
         env = dict(os.environ, LAYERS=str(layers), HIDDEN=str(hidden),
                    INTER=str(inter))
+        hung = False
         for retry in range(2):
-            p = subprocess.run([sys.executable, "-u", __file__], env=env,
-                               capture_output=True, text=True, timeout=1500)
+            # A wedged tunnel hangs the child rather than erroring -- the
+            # exact failure mode this experiment diagnoses.  Record it as
+            # a distinct non-OOM failure instead of crashing the search.
+            try:
+                p = subprocess.run([sys.executable, "-u", __file__], env=env,
+                                   capture_output=True, text=True,
+                                   timeout=1500)
+            except subprocess.TimeoutExpired as e:
+                hung = True
+                sys.stdout.write((e.stdout or b"").decode(errors="replace")
+                                 if isinstance(e.stdout, bytes)
+                                 else (e.stdout or ""))
+                print(f"child HUNG past {e.timeout:.0f}s (wedged tunnel?); "
+                      "recorded as hang", flush=True)
+                p = None
+                break
             sys.stdout.write(p.stdout)
             if p.returncode in (0, 42):
                 break
@@ -175,18 +190,20 @@ def drive():
             if retry == 0:
                 print(f"non-OOM rc={p.returncode}; retrying once "
                       "(transient?)", flush=True)
-        ok = p.returncode == 0
+        ok = p is not None and p.returncode == 0
         # child-printed metrics first, driver verdict last: the driver's
         # returncode-derived fields are authoritative (a child can print a
         # success record and then die at teardown -- rc != 0 must win so
         # the JSONL row agrees with the boundary search's own decision)
         rec = {"label": label, "layers": layers, "hidden": hidden,
                "inter": inter}
-        for line in p.stdout.splitlines():
-            if line.startswith("{"):
-                rec.update(json.loads(line))
-        rec.update(executed=ok, rc=p.returncode,
-                   non_oom_error=p.returncode not in (0, 42))
+        if p is not None:
+            for line in p.stdout.splitlines():
+                if line.startswith("{"):
+                    rec.update(json.loads(line))
+        rec.update(executed=ok, rc=None if hung else p.returncode,
+                   hung=hung,
+                   non_oom_error=hung or p.returncode not in (0, 42))
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         results[key] = ok

@@ -85,9 +85,10 @@ def predict_logits(model: nnx.Module, data, batch_size: int = 64,
     return np.zeros((0, width), np.float32)
 
 
-def predict_classes(model: nnx.Module, data, batch_size: int = 64) -> np.ndarray:
+def predict_classes(model: nnx.Module, data, batch_size: int = 64,
+                    locations=None) -> np.ndarray:
     """argmax predictions (or raw scores for single-logit regression heads)."""
-    logits = predict_logits(model, data, batch_size)
+    logits = predict_logits(model, data, batch_size, locations=locations)
     if logits.shape[-1] == 1:
         return logits[:, 0]
     return np.argmax(logits, -1)

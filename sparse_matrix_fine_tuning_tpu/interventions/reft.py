@@ -644,13 +644,15 @@ class ReftModel(nnx.Module):
         list shared by every intervention, or one list per intervention.
         Returns {layer_or_(layer, comp): fn}."""
         hooks = {}
+        pending_captures = []
         for i, iv in enumerate(self.interventions):
             if isinstance(iv, NoIntervention):
                 continue
             locs = self._locs(intervention_locations, i)
             sub = _subspaces_for(subspaces, i)
             if isinstance(iv, SkipIntervention):
-                self._add_skip_hooks(hooks, iv, i, locs, sub)
+                pending_captures.append(
+                    self._add_skip_hooks(hooks, iv, i, locs, sub))
                 continue
             src = (sources or {}).get(i)
             fn = (lambda iv, locs, src, sub:
@@ -659,6 +661,14 @@ class ReftModel(nnx.Module):
                   )(iv, locs, src, sub)
             prev = hooks.get(self._key(i))
             hooks[self._key(i)] = fn if prev is None else _chain(prev, fn)
+        # Skip captures chain LAST at their site, after every edit hook
+        # registered there (in pyvene, block L's input is block L-1's
+        # output AFTER all interventions at that site ran -- regardless of
+        # the order representations were listed in).  Sites execute in
+        # forward order, so end-of-site captures still precede their skip.
+        for cap_key, capture in pending_captures:
+            prev = hooks.get(cap_key)
+            hooks[cap_key] = capture if prev is None else _chain(prev, capture)
         return hooks
 
     def _add_skip_hooks(self, hooks, iv, i, locs, sub=None):
@@ -667,7 +677,9 @@ class ReftModel(nnx.Module):
         block L-1's output, captured at that (remat-safe) block-output hook
         site; L=0 captures the embeddings via the (0, "block_input") inner
         site.  The captured value is a traced array of the same forward, so
-        the skip hook closes over it within one trace."""
+        the skip hook closes over it within one trace.  Registers the skip
+        hook in place; RETURNS (cap_key, capture) for the caller to chain
+        after all edit hooks at the capture site."""
         layer = self.intervention_layers[i]
         comp = self.intervention_components[i]
         if comp != "block_output":
@@ -695,9 +707,9 @@ class ReftModel(nnx.Module):
                                       source=cap["src"])
 
         cap_key = (0, "block_input") if layer == 0 else layer - 1
-        for key, fn in ((cap_key, capture), (layer, skip_fn)):
-            prev = hooks.get(key)
-            hooks[key] = fn if prev is None else _chain(prev, fn)
+        prev = hooks.get(layer)
+        hooks[layer] = skip_fn if prev is None else _chain(prev, skip_fn)
+        return cap_key, capture
 
     def collect_activations(self, input_ids, locations, attention_mask=None,
                             **kw):

@@ -87,6 +87,16 @@ def _apply_repetition_penalty(logits, presence, penalty: float):
     return jnp.where(presence, pen, lp)
 
 
+def _prompt_presence(input_ids, vocab: int):
+    """(b, V) bool: tokens present in the prompt, PADS INCLUDED -- HF's
+    RepetitionPenaltyLogitsProcessor gathers over the full padded
+    input_ids, so the pad token is penalized for padded rows; matched
+    exactly for decode parity with the reference engine."""
+    b = input_ids.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], input_ids.shape)
+    return jnp.zeros((b, vocab), bool).at[rows, input_ids].set(True)
+
+
 def _ban_repeated_ngrams(logits, seq_full, cur_len, n: int):
     """NEG out any token that would complete an n-gram already present in
     seq_full[:, :cur_len] (HF NoRepeatNGramLogitsProcessor semantics).
@@ -153,11 +163,7 @@ def _compiled_greedy(graphdef, cfg: GenerationConfig, has_locs: bool,
         use_ngram = cfg.no_repeat_ngram_size > 0
         rows = jnp.arange(b)
         if use_pen:
-            # tokens already present in the (unpadded part of the) prompt
-            V = logits.shape[-1]
-            presence = jnp.zeros((b, V), bool).at[
-                jnp.broadcast_to(rows[:, None], input_ids.shape), input_ids
-            ].max(attention_mask.astype(bool))
+            presence = _prompt_presence(input_ids, logits.shape[-1])
         else:
             presence = jnp.zeros((b, 1), bool)  # uniform carry, unused
 

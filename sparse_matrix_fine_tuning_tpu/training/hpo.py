@@ -79,9 +79,17 @@ def _build_trials(space: dict, n_trials: int, rng: np.random.Generator):
     if not grid_keys:
         return [{"hp": _sample(space, rng), "id": i} for i in range(n_trials)]
     combos = list(itertools.product(*[space[k][1] for k in grid_keys]))
-    n_samples = 1 if all(
-        not (isinstance(s, tuple) and s and isinstance(s[0], str))
-        for s in rest.values()) else max(1, n_trials)
+    # Only a GENUINELY stochastic dim multiplies the grid (Ray num_samples
+    # semantics); a choice with one option is a pinned constant, so e.g.
+    # the full-FT space (3x2 grid + choice([0.1])) stays its fixed grid
+    # even under an explicit --n_trials.
+    def _stochastic(s):
+        if not (isinstance(s, tuple) and s and isinstance(s[0], str)):
+            return False
+        return not (s[0] == "choice" and len(s[1]) <= 1)
+
+    n_samples = max(1, n_trials) if any(
+        _stochastic(s) for s in rest.values()) else 1
     trials = []
     for _ in range(n_samples):
         for combo in combos:

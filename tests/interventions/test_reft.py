@@ -322,6 +322,36 @@ def test_skip_intervention_uses_same_example_layer_input():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_skip_capture_sees_edits_regardless_of_listing_order():
+    """A skip at layer L captures block L-1's output AFTER every edit
+    registered at that site (pyvene: the block's real input), even when the
+    editing intervention is listed after the skip in the representations
+    list -- the result must be identical under both orderings."""
+    from sparse_matrix_fine_tuning_tpu.interventions.reft import ReftModel
+
+    cfg = LlamaConfig.tiny()
+    model = fresh_model(LlamaForCausalLM, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, cfg.vocab_size)
+    L = 2
+    skip_rep = {"layer": L, "intervention": "SkipIntervention"}
+    edit_rep = {"layer": L - 1, "intervention": "ZeroIntervention"}
+    locs2 = jnp.asarray(np.array([[[0, 1], [0, 1]], [[1, 2], [1, 2]]]))
+
+    outs = []
+    for reps in ([skip_rep, edit_rep], [edit_rep, skip_rep]):
+        rm = ReftModel(model, ReftConfig(representations=reps))
+        outs.append(np.asarray(rm.model(ids, layer_hooks=rm._hooks(locs2))))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+    # and the capture genuinely includes the edit: skipping over an edited
+    # block input differs from skipping over the unedited one
+    rm_noedit = ReftModel(model, ReftConfig(representations=[skip_rep]))
+    locs1 = locs2[:, :1]
+    base = np.asarray(rm_noedit.model(
+        ids, layer_hooks=rm_noedit._hooks(locs1)))
+    assert not np.allclose(outs[0], base)
+
+
 def test_pca_intervention_constructs_through_registry():
     from sparse_matrix_fine_tuning_tpu.interventions.reft import ReftModel
 

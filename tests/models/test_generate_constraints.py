@@ -91,6 +91,69 @@ def test_repetition_penalty_changes_greedy_output():
     assert (base != pen).any()
 
 
+def test_prompt_presence_matches_hf_processor_with_pads():
+    """HF's RepetitionPenaltyLogitsProcessor gathers over the FULL padded
+    input_ids (pads included); the presence set feeding
+    _apply_repetition_penalty must reproduce its output exactly on a
+    left-padded batch."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from sparse_matrix_fine_tuning_tpu.models.generate import _prompt_presence
+
+    rng = np.random.default_rng(7)
+    V, b, t = 13, 3, 6
+    ids = rng.integers(1, V, size=(b, t)).astype(np.int32)
+    ids[1, :3] = 0  # left padding (pad_token_id=0)
+    logits = rng.normal(size=(b, V)).astype(np.float32)
+
+    proc = transformers.RepetitionPenaltyLogitsProcessor(penalty=1.3)
+    want = proc(torch.tensor(ids, dtype=torch.long),
+                torch.tensor(logits)).numpy()
+    presence = _prompt_presence(jnp.asarray(ids), V)
+    got = np.asarray(_apply_repetition_penalty(
+        jnp.asarray(logits), presence, 1.3))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_greedy_penalty_with_padding_matches_hf():
+    """End-to-end: greedy decode with the alpaca-recipe constraints on a
+    left-padded batch must match HF generate token-for-token."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from sparse_matrix_fine_tuning_tpu.models.hf_convert import load_llama
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(0)
+    hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    model = fresh_model(LlamaForCausalLM, LlamaConfig.tiny())
+    load_llama(model, dict(hf_model.state_dict()))
+    model.eval()
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(3, 256, size=(3, 9))
+    mask = np.ones_like(ids)
+    ids[1, :3] = 0
+    mask[1, :3] = 0
+    NEW = 12
+    with torch.no_grad():
+        want = hf_model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_new_tokens=NEW, do_sample=False, num_beams=1,
+            repetition_penalty=2.0, no_repeat_ngram_size=5,
+            eos_token_id=None, pad_token_id=0).numpy()
+    got = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, eos_token_id=None,
+                         repetition_penalty=2.0, no_repeat_ngram_size=5)))
+    np.testing.assert_array_equal(got[:, -NEW:], want[:, -NEW:])
+
+
 def test_constraints_rejected_with_beams():
     cfg = LlamaConfig.tiny()
     model = fresh_model(LlamaForCausalLM, cfg)

@@ -48,12 +48,22 @@ def test_grid_expands_cartesian_product():
         "weight_decay": choice([0.1]),
         "lr_scheduler_type": grid(["cosine"]),
     }
-    trials = _build_trials(space, n_trials=1, rng=np.random.default_rng(0))
-    assert len(trials) == 6
-    combos = {(t["hp"]["learning_rate"], t["hp"]["per_device_train_batch_size"])
-              for t in trials}
-    assert len(combos) == 6
-    assert all(t["hp"]["weight_decay"] == 0.1 for t in trials)
+    for n_trials in (1, 15):  # explicit --n_trials must NOT multiply the grid
+        trials = _build_trials(space, n_trials=n_trials,
+                               rng=np.random.default_rng(0))
+        assert len(trials) == 6, n_trials
+        combos = {(t["hp"]["learning_rate"],
+                   t["hp"]["per_device_train_batch_size"]) for t in trials}
+        assert len(combos) == 6
+        assert all(t["hp"]["weight_decay"] == 0.1 for t in trials)
+
+
+def test_grid_with_stochastic_dim_multiplies_by_n_trials():
+    """Ray num_samples semantics: a genuinely random dim alongside grids
+    samples n_trials times per grid point."""
+    space = {"lr": grid([1, 2]), "dropout": choice([0.0, 0.1])}
+    trials = _build_trials(space, n_trials=3, rng=np.random.default_rng(0))
+    assert len(trials) == 6  # 2 grid points x 3 samples
 
 
 def test_grid_search_runs_all_combos_end_to_end():
