@@ -176,9 +176,11 @@ def drive():
                                    timeout=1500)
             except subprocess.TimeoutExpired as e:
                 hung = True
-                sys.stdout.write((e.stdout or b"").decode(errors="replace")
-                                 if isinstance(e.stdout, bytes)
-                                 else (e.stdout or ""))
+                for stream in (e.stdout, e.stderr):
+                    if stream:
+                        sys.stdout.write(
+                            stream.decode(errors="replace")[-2000:]
+                            if isinstance(stream, bytes) else stream[-2000:])
                 print(f"child HUNG past {e.timeout:.0f}s (wedged tunnel?); "
                       "recorded as hang", flush=True)
                 p = None
@@ -206,6 +208,13 @@ def drive():
                    non_oom_error=hung or p.returncode not in (0, 42))
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if hung:
+            # A hang is tunnel state, not capacity: concluding "fails" here
+            # would shrink the boundary search on wedged-tunnel noise.
+            # Abort; per-attempt progress is already persisted in the JSONL.
+            raise RuntimeError(
+                f"{label}: child hung -- wedged tunnel; aborting the search "
+                "(capacity cannot be concluded from a hang)")
         results[key] = ok
         return ok
 

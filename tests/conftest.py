@@ -52,6 +52,8 @@ _SLOW_PATTERNS = (
     "tests/models/test_packing.py",
     "tests/models/test_generate.py",
     "tests/models/test_generate_hf_parity.py",
+    "test_prompt_presence_matches_hf_processor_with_pads",
+    "test_greedy_penalty_with_padding_matches_hf",
     "tests/models/test_hf_parity.py",
     "tests/models/test_training_parity.py",
     "tests/kernels/test_merged.py",
