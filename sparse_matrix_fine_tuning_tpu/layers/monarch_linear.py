@@ -207,6 +207,18 @@ class MonarchLinear(nnx.Module):
                 bd2 = jnp.zeros((self.nblocks, self.out_blksz, self.blk_r), param_dtype)
 
         if self.use_mult_factor:
+            # M_mult multiplies the dense OUTPUT (x @ W @ M_mult, reference
+            # monarch_linear.py:168-174), so its block algebra only closes
+            # for square unpadded layers; validate here instead of crashing
+            # with an opaque reshape error at the first forward
+            if (self.nblocks * self.in_blksz != self.out_features
+                    or self.in_blksz != self.out_blksz):
+                raise ValueError(
+                    "use_mult_factor requires a square layer with "
+                    "out_features == nblocks * blk_sz (the factor is applied "
+                    f"to the dense output); got in={in_features}, "
+                    f"out={out_features}, nblocks={self.nblocks}, "
+                    f"blk_sz=({self.in_blksz},{self.out_blksz})")
             eye = jnp.eye(self.out_blksz, self.in_blksz, dtype=param_dtype)
             self.blkdiag_mult = AdapterParam(
                 jnp.tile(eye[None], (self.nblocks, 1, 1)))
@@ -346,6 +358,15 @@ class MonarchLinear(nnx.Module):
             out = self.scaler(out)
         return out
 
+    def _apply_mult(self, out: Array) -> Array:
+        """x @ W @ M_mult: the multiplicative block-diagonal factor on the
+        dense output (reference monarch_linear.py:284-285) -- ONE shared
+        tail for every _dense_forward quant path."""
+        if self.use_mult_factor:
+            out = blockdiag_multiply(
+                out, self.blkdiag_mult[...].astype(out.dtype))
+        return out
+
     def _dense_forward(self, x: Array) -> Array:
         w = self.dense[...]
         compute = self.dtype if self.dtype is not None else x.dtype
@@ -380,10 +401,7 @@ class MonarchLinear(nnx.Module):
                 lo, hi = dequantize_int4_halves(w, scales, g, compute)
                 out = (half_dot(xq[..., :h], lo) + half_dot(xq[..., h:], hi)
                        ).astype(x.dtype)
-            if self.use_mult_factor:
-                out = blockdiag_multiply(
-                    out, self.blkdiag_mult[...].astype(out.dtype))
-            return out
+            return self._apply_mult(out)
         if qbits == 8:
             # in-major int8 (quant/): fused Pallas dequant-dot on TPU,
             # dequantize-then-dot elsewhere
@@ -395,10 +413,7 @@ class MonarchLinear(nnx.Module):
                                               jnp.dtype(compute).itemsize)):
                 out = int8_matmul(x.astype(compute), w, scales
                                   ).astype(x.dtype)
-                if self.use_mult_factor:
-                    out = blockdiag_multiply(
-                        out, self.blkdiag_mult[...].astype(out.dtype))
-                return out
+                return self._apply_mult(out)
             from sparse_matrix_fine_tuning_tpu.quant import dequantize_int8
             w = dequantize_int8(w, scales, compute)
         if self.dtype is not None:
@@ -409,9 +424,7 @@ class MonarchLinear(nnx.Module):
         out = jax.lax.dot_general(
             x, w, dimension_numbers=dims(x),
             preferred_element_type=jnp.float32).astype(x.dtype)
-        if self.use_mult_factor:
-            out = blockdiag_multiply(out, self.blkdiag_mult[...].astype(out.dtype))
-        return out
+        return self._apply_mult(out)
 
     def _can_fuse_add(self, x: Array) -> bool:
         """Whether the hybrid hot path can use the fused base+monarch kernel:
@@ -519,12 +532,32 @@ class MonarchLinear(nnx.Module):
         eye = jnp.eye(self.in_features, dtype=self.param_dtype)
         return self.monarch_forward(eye, deterministic=True).T
 
+    def _check_mergeable(self) -> None:
+        if getattr(self, "quant_bits", None):
+            raise ValueError(
+                "merge/unmerge on a quantized base: the dense holds packed "
+                f"int{self.quant_bits} codes -- adding a float adapter delta "
+                "into them would silently corrupt the weights.  Keep the "
+                "adapter unmerged (the quantized hot path already fuses it) "
+                "or merge BEFORE quantize_frozen_base.")
+
     def merge_adapter(self) -> None:
         """Fold the adapter into the frozen dense weights for inference
-        (reference train(False) branch, monarch_linear.py:271-276)."""
+        (reference train(False) branch, monarch_linear.py:271-276).
+
+        With a Scaler the fold linearizes its LayerNorm at the identity
+        probe, so merged outputs differ from unmerged ones on general
+        inputs -- the reference's merge has the identical quirk, and the
+        parity tests assert we reproduce it
+        (tests/reference_parity/test_adapter_import.py)."""
         if not self.as_adapter or self.merged:
             return
-        self.dense.set_value(self.dense[...] + self.adapter_dense_equivalent().astype(self.param_dtype))
+        self._check_mergeable()
+        dense = self.dense[...]
+        # cast the DELTA to the dense's own dtype: a bf16 base must not
+        # promote to f32 (doubles the frozen base's HBM)
+        self.dense.set_value(
+            dense + self.adapter_dense_equivalent().astype(dense.dtype))
         self.merged = True
 
     def unmerge_adapter(self) -> None:
@@ -532,7 +565,10 @@ class MonarchLinear(nnx.Module):
         (reference train(True) branch, monarch_linear.py:261-268)."""
         if not self.as_adapter or not self.merged:
             return
-        self.dense.set_value(self.dense[...] - self.adapter_dense_equivalent().astype(self.param_dtype))
+        self._check_mergeable()
+        dense = self.dense[...]
+        self.dense.set_value(
+            dense - self.adapter_dense_equivalent().astype(dense.dtype))
         self.merged = False
 
     @property

@@ -396,7 +396,14 @@ class Trainer:
             self._maybe_resume()
         total_steps = self.num_training_steps()
         bs = a.per_device_train_batch_size
-        epochs = int(math.ceil(a.num_train_epochs))
+        # HF semantics: max_steps > 0 OVERRIDES num_train_epochs -- the run
+        # cycles epochs until max_steps, not until the epoch budget (the LR
+        # schedule is built for total_steps, so stopping at the epoch bound
+        # would quietly under-train with the LR mid-schedule)
+        if a.max_steps > 0:
+            epochs = int(math.ceil(total_steps / max(self.steps_per_epoch(), 1)))
+        else:
+            epochs = int(math.ceil(a.num_train_epochs))
         G = max(a.gradient_accumulation_steps, 1)
         step_fn = self._train_step_accum if G > 1 else self._train_step
         t0 = time.time()
@@ -417,7 +424,8 @@ class Trainer:
                                           seed=a.seed + epoch, accum=G,
                                           skip=skip if epoch == start_epoch else 0):
                 loss = step_fn(self.model, self.optimizer, batch)
-                running.append(loss)
+                if a.logging_steps:  # else the list would grow unbounded
+                    running.append(loss)
                 self.step += 1
                 if a.logging_steps and self.step % a.logging_steps == 0:
                     mean_loss = float(jnp.mean(jnp.stack(running)))
@@ -518,7 +526,11 @@ class Trainer:
             log_history=self.log_history, final=final,
             extra_meta={"epoch": self.step // spe,
                         "batch_in_epoch": self.step % spe,
-                        "data_seed": self.args.seed},
+                        "data_seed": self.args.seed,
+                        # restored on resume so a resumed run cannot
+                        # clobber checkpoint-best with a worse model
+                        "best_metric": self.best_metric,
+                        "best_ckpt": self.best_ckpt},
             rng_state=nnx.state(self.model, nnx.RngState))
 
     def load_checkpoint(self, path: str):
@@ -530,6 +542,11 @@ class Trainer:
         nnx.update(self.model, rng_state)
         if meta.get("step"):
             self.step = meta["step"]
+        if self._n_merged:
+            # the wm caches hold whatever params were live BEFORE the load;
+            # stale merged operands would silently serve the old weights
+            from sparse_matrix_fine_tuning_tpu.peft.surgery import refresh_merged
+            refresh_merged(self.model)
 
     def _maybe_resume(self):
         last, completed = ckpt_lib.get_last_checkpoint(
@@ -542,10 +559,40 @@ class Trainer:
             with open(meta_path) as f:
                 ckpt_step = json.load(f).get("step", 0)
         if completed and ckpt_step >= self.num_training_steps():
-            return  # genuinely finished at this budget
+            # genuinely finished at this budget: LOAD the finished weights
+            # so train() no-ops (step >= total) instead of silently
+            # retraining from scratch and clobbering the finished artifacts
+            print(f"Run already completed at {last}; loading it")
+            self.load_checkpoint(last)
+            self._restore_run_state()
+            return
         if completed:
             # budget extension (HPO rung growth): continue the finished
             # shorter run instead of restarting from scratch
             os.remove(os.path.join(self.args.output_dir, "completed"))
         print(f"Resuming from {last}")
         self.load_checkpoint(last)
+        self._restore_run_state()
+
+    def _restore_run_state(self):
+        """Re-read best-model tracking + log history on resume so
+        load_best_model_at_end compares against the PRE-crash best and the
+        history file is appended to, not rewritten."""
+        # meta.json lives in each checkpoint dir; read the freshest one
+        last, _ = ckpt_lib.get_last_checkpoint(
+            self.args.output_dir, even_if_completed=True)
+        if last is not None and os.path.exists(os.path.join(last, "meta.json")):
+            with open(os.path.join(last, "meta.json")) as f:
+                meta = json.load(f)
+            if meta.get("best_metric") is not None:
+                self.best_metric = meta["best_metric"]
+                bc = meta.get("best_ckpt")
+                if bc is not None and os.path.isdir(bc):
+                    self.best_ckpt = bc
+        hist_path = os.path.join(self.args.output_dir, "log_history.json")
+        if not self.log_history and os.path.exists(hist_path):
+            try:
+                with open(hist_path) as f:
+                    self.log_history = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                pass

@@ -135,3 +135,50 @@ def test_kaiming_init_bounds():
     bd1 = np.asarray(layer.blkdiag1[...])
     assert bd1.max() <= bound and bd1.min() >= -bound
     assert bd1.std() > 0.3 * bound  # roughly uniform, not degenerate
+
+
+def test_merge_refuses_quantized_base():
+    """Merging a float adapter delta into packed int codes would silently
+    corrupt the weights; the layer must refuse with a clear error."""
+    import pytest
+    from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
+
+    layer, _ = _layer(in_f=64, out_f=64, seed=5)
+    layer.blkdiag2.set_value(jax.random.normal(
+        jax.random.PRNGKey(6), layer.blkdiag2[...].shape) * 0.1)
+
+    class Holder(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+    quantize_frozen_base(Holder(layer), bits=8)
+    assert layer.quant_bits == 8
+    with pytest.raises(ValueError, match="quantized base"):
+        layer.merge_adapter()
+
+
+def test_merge_preserves_bf16_base_dtype():
+    """Merging must cast the delta to the dense's own dtype -- a bf16 base
+    silently promoting to f32 would double the frozen base's HBM."""
+    w = (jax.random.normal(jax.random.PRNGKey(7), (64, 64)) * 0.1
+         ).astype(jnp.bfloat16)
+    layer = MonarchLinear(64, 64, weights=w, rngs=nnx.Rngs(0))
+    layer.blkdiag2.set_value(jax.random.normal(
+        jax.random.PRNGKey(8), layer.blkdiag2[...].shape) * 0.1)
+    layer.merge_adapter()
+    assert layer.dense[...].dtype == jnp.bfloat16
+    layer.unmerge_adapter()
+    assert layer.dense[...].dtype == jnp.bfloat16
+
+
+def test_use_mult_factor_rejects_non_square():
+    """M_mult applies to the dense output, which only closes for square
+    unpadded layers -- the constructor must say so, not crash in forward."""
+    import pytest
+    with pytest.raises(ValueError, match="use_mult_factor"):
+        _layer(in_f=32, out_f=64, peft_config={"use_mult_factor": True})
+    # square still constructs and runs
+    layer, w = _layer(in_f=32, out_f=32,
+                      peft_config={"use_mult_factor": True})
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 32))
+    assert layer(x).shape == (4, 32)

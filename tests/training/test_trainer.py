@@ -227,6 +227,74 @@ def test_resume_from_checkpoint(tmp_path):
     assert trainer2.step > 0
 
 
+def test_max_steps_overrides_epoch_budget(tmp_path):
+    """HF semantics: max_steps > 0 cycles epochs until max_steps even past
+    num_train_epochs (64 ex / bs 16 = 4 steps/epoch; 3 epochs = 12 steps;
+    max_steps=20 must reach 20, not quietly stop at 12 mid-LR-schedule)."""
+    trainer, _ = _make(tmp_path, max_steps=20)
+    trainer.train()
+    assert trainer.step == 20
+
+
+def test_resume_of_finished_run_loads_instead_of_retraining(tmp_path):
+    """train(resume=True) on a run already completed at this budget must
+    load the finished weights and no-op -- not retrain from fresh init."""
+    trainer, _ = _make(tmp_path, save_steps=4)
+    trainer.train()
+    done_step = trainer.step
+    want = jax.tree.map(np.asarray,
+                        nnx.state(trainer.model, trainer.filt))
+
+    trainer2, _ = _make(tmp_path, save_steps=4)
+    trainer2.train(resume=True)
+    assert trainer2.step == done_step  # no extra steps ran
+    got = jax.tree.map(np.asarray, nnx.state(trainer2.model, trainer2.filt))
+    for (pa, a), (pb, b) in zip(jax.tree.leaves_with_path(want),
+                                jax.tree.leaves_with_path(got)):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+
+def test_best_metric_survives_resume(tmp_path):
+    """A resumed run must compare against the PRE-crash best metric so a
+    worse post-resume eval cannot clobber checkpoint-best."""
+    trainer, _ = _make(tmp_path, save_steps=4, eval_steps=4,
+                       load_best_model_at_end=True,
+                       metric_for_best_model="loss")
+    trainer.train()
+    assert trainer.best_metric is not None
+    os.remove(os.path.join(str(tmp_path), "completed"))
+
+    trainer2, _ = _make(tmp_path, save_steps=4, eval_steps=4,
+                        load_best_model_at_end=True,
+                        metric_for_best_model="loss")
+    trainer2._maybe_resume()
+    assert trainer2.best_metric == trainer.best_metric
+    assert trainer2.best_ckpt is not None
+    assert trainer2.log_history  # history re-read, not reset
+
+
+def test_load_checkpoint_refreshes_merged_caches(tmp_path):
+    """With merge-during-training on, load_checkpoint must rebuild the
+    merged operands; stale caches would silently serve the old weights."""
+    from sparse_matrix_fine_tuning_tpu.peft.surgery import refresh_merged
+
+    trainer, data = _make(tmp_path, merged_training="on", save_steps=4,
+                          num_train_epochs=1)
+    trainer.train()
+    early = trainer.save_checkpoint(tag="early")
+    # keep training so params + caches move past the saved snapshot
+    trainer.args.num_train_epochs = 2
+    trainer.train()
+
+    trainer.load_checkpoint(early)
+    x = jnp.asarray(data["input_ids"][:4])
+    m = jnp.asarray(data["attention_mask"][:4])
+    out_loaded = np.asarray(trainer.model(x, m))
+    refresh_merged(trainer.model)  # manual refresh = ground truth
+    out_fresh = np.asarray(trainer.model(x, m))
+    np.testing.assert_allclose(out_loaded, out_fresh, rtol=1e-6, atol=1e-6)
+
+
 def test_eval_loss_invariant_to_eval_batch_size(tmp_path):
     """Padded ragged-tail rows must be masked out of the eval loss (the
     reference HF Trainer evaluates at exact length, reft_trainer.py:92-149).
