@@ -66,7 +66,8 @@ def _sample_logits(logits, key, cfg: GenerationConfig):
         return jnp.argmax(logits, -1)
     logits = logits / jnp.maximum(cfg.temperature, 1e-6)
     if cfg.top_k and cfg.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[..., -cfg.top_k][..., None]
+        k = min(cfg.top_k, logits.shape[-1])  # HF clamps top_k to vocab
+        kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
         logits = jnp.where(logits < kth, NEG, logits)
     if cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
@@ -170,7 +171,10 @@ def _compiled_greedy(graphdef, cfg: GenerationConfig, has_locs: bool,
         def cond(carry):
             i, finished = carry[0], carry[5]
             not_done = i < cfg.max_new_tokens
-            if cfg.early_stopping and cfg.eos_token_id is not None:
+            # HF greedy stops when every row has hit EOS regardless of
+            # early_stopping (a beam-search-only knob); output is identical,
+            # the exit just skips wasted pad-emitting steps
+            if cfg.eos_token_id is not None:
                 not_done = not_done & ~jnp.all(finished)
             return not_done
 
@@ -237,7 +241,14 @@ def generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
                 "repetition_penalty / no_repeat_ngram_size are implemented "
                 "for the greedy/sampling decode only (the reference recipes "
                 "use them with num_beams=1 -- task_config.py alpaca)")
+        if gen_config.do_sample and (gen_config.top_k > 0
+                                     or gen_config.top_p < 1.0):
+            raise NotImplementedError(
+                "beam-sample supports temperature only (HF applies top-k/"
+                "top-p warpers there too; unimplemented -- raise, don't "
+                "silently ignore)")
         return beam_generate(model, input_ids, attention_mask, gen_config,
+                             rng=rng,
                              prefill_hooks=prefill_hooks,
                              intervention_locations=intervention_locations)
     graphdef, state = nnx.split(model)
@@ -262,14 +273,26 @@ class _FreshHooks(dict):
 @functools.lru_cache(maxsize=64)
 def _compiled_beam(graphdef, cfg: GenerationConfig, has_locs: bool,
                    legacy_hooks=None):
+    """HF-parity beam search, mirroring transformers' vectorized
+    ``_beam_search`` (generation/utils.py:3113, v4.57): a 2K candidate
+    pool per step, a K-slot finished-hypothesis bank scored by
+    sum-logprobs / generated_length**length_penalty, the early-stop
+    improvement heuristic, and the same three-way stop condition.  Running
+    beams are refilled from the non-finished candidates, so an EOS beam
+    never freezes a live search slot.  ``do_sample`` selects the 2K
+    candidates by Gumbel-top-k (= sampling without replacement, HF's
+    ``torch.multinomial``) -- distributionally faithful, not RNG-identical.
+    """
     K = cfg.num_beams
+    K2 = 2 * K  # beams_to_keep = max(2, 1 + n_eos) * K with 0 or 1 EOS
 
     @jax.jit
-    def run(state, input_ids, attention_mask, locs):
+    def run(state, input_ids, attention_mask, rng, locs):
         m = nnx.merge(graphdef, state)
         mcfg = m.config
         b, t = input_ids.shape
-        total = t + cfg.max_new_tokens
+        N = cfg.max_new_tokens
+        total = t + N
         dtype = mcfg.compute_dtype or jnp.float32
         bk = b * K
 
@@ -291,31 +314,65 @@ def _compiled_beam(graphdef, cfg: GenerationConfig, has_locs: bool,
         next_pos = positions[:, -1] + 1
 
         # beam 0 active, others -inf so the first step picks K distinct tokens
-        beam_scores = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1)), (b,))  # (b*K,)
-        finished = jnp.zeros((bk,), bool)
-        out_toks = jnp.full((bk, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
+        run_scores = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1),
+                                        jnp.float32), (b, 1))       # (b, K)
+        # HF fill rule (utils.py:3227 `pad_token_id or eos_token_id[0]`):
+        # a falsy pad id (0) makes EOS the fill for finished hypotheses'
+        # tails -- replicated for token-exact parity
+        if cfg.eos_token_id is not None:
+            fill = cfg.pad_token_id or cfg.eos_token_id
+        else:
+            fill = cfg.pad_token_id if cfg.pad_token_id is not None else -1
+        run_toks = jnp.full((b, K, N), fill, jnp.int32)
+        bank_scores = jnp.full((b, K), NEG, jnp.float32)
+        bank_toks = jnp.full((b, K, N), fill, jnp.int32)
+        bank_fin = jnp.zeros((b, K), bool)
+        heur_unsat = jnp.ones((b, 1), bool)
+        lp = cfg.length_penalty
+        es = cfg.early_stopping is True
+
+        def take1(x, idx):  # (b, M) gathered to (b, k)
+            return jnp.take_along_axis(x, idx, axis=1)
 
         def cond(carry):
-            i, finished = carry[0], carry[6]
-            not_done = i < cfg.max_new_tokens
-            if cfg.early_stopping and cfg.eos_token_id is not None:
-                not_done = not_done & ~jnp.all(finished)
-            return not_done
+            return (carry[0] < N) & ~carry[-1]
 
         def step(carry):
-            (i, caches, mask_full, last_logit, pos, beam_scores, finished,
-             out_toks) = carry
-            logp = jax.nn.log_softmax(last_logit.astype(jnp.float32), -1)  # (bk, V)
+            (i, caches, mask_full, last_logit, pos, run_scores, run_toks,
+             bank_scores, bank_toks, bank_fin, heur_unsat, rng, _done) = carry
+            logp = jax.nn.log_softmax(last_logit.astype(jnp.float32), -1)
+            if cfg.do_sample and cfg.temperature != 1.0:
+                # HF applies the temperature warper to the log-probs that
+                # then accumulate into the beam scores
+                logp = logp / max(cfg.temperature, 1e-6)
             V = logp.shape[-1]
-            # finished beams only extend with pad at no cost
-            pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
-            logp = jnp.where(finished[:, None], pad_only[None], logp)
-            cand = beam_scores[:, None] + logp  # (bk, V)
-            cand = cand.reshape(b, K * V)
-            top_scores, top_idx = jax.lax.top_k(cand, K)  # (b, K)
-            src_beam = top_idx // V            # (b, K) which beam it came from
-            tok = (top_idx % V).astype(jnp.int32)
-            flat_src = (jnp.arange(b)[:, None] * K + src_beam).reshape(-1)  # (bk,)
+            cand = (logp.reshape(b, K, V)
+                    + run_scores[:, :, None]).reshape(b, K * V)
+            if cfg.do_sample:
+                rng, sub = jax.random.split(rng)
+                gumbel = jax.random.gumbel(sub, cand.shape, jnp.float32)
+                _, idx2k = jax.lax.top_k(cand + gumbel, K2)
+                sc2k = take1(cand, idx2k)
+            else:
+                sc2k, idx2k = jax.lax.top_k(cand, K2)       # (b, 2K)
+            src = idx2k // V                                # (b, 2K)
+            tok = (idx2k % V).astype(jnp.int32)
+            cand_toks = jnp.take_along_axis(run_toks, src[:, :, None], axis=1)
+            cand_toks = jax.lax.dynamic_update_slice_in_dim(
+                cand_toks, tok[:, :, None], i, axis=2)      # (b, 2K, N)
+            # stopping criteria per candidate: EOS token or max length
+            hits = jnp.full(tok.shape, i + 1 >= N)
+            if cfg.eos_token_id is not None:
+                hits = hits | (tok == cfg.eos_token_id)
+
+            # next running beams: best K non-finished candidates
+            run_sel_scores, run_sel_idx = jax.lax.top_k(
+                sc2k + hits.astype(jnp.float32) * NEG, K)   # (b, K)
+            new_run_toks = jnp.take_along_axis(
+                cand_toks, run_sel_idx[:, :, None], axis=1)
+            new_src = take1(src, run_sel_idx)               # (b, K)
+            new_tok = take1(tok, run_sel_idx)               # (b, K)
+            flat_src = (jnp.arange(b)[:, None] * K + new_src).reshape(-1)
 
             def gather(x):
                 return jnp.take(x, flat_src, axis=0)
@@ -323,45 +380,67 @@ def _compiled_beam(graphdef, cfg: GenerationConfig, has_locs: bool,
             caches = jax.tree.map(gather, caches)
             mask_full = gather(mask_full)
             pos = gather(pos)
-            finished = gather(finished)
-            out_toks = gather(out_toks)
-            tok_flat = tok.reshape(-1)
-            out_toks = jax.lax.dynamic_update_slice_in_dim(
-                out_toks, tok_flat[:, None], i, axis=1)
-            beam_scores = top_scores.reshape(-1)
-            if cfg.eos_token_id is not None:
-                finished = finished | (tok_flat == cfg.eos_token_id)
+
+            # bank update: finished candidates in the top-K ranks join the
+            # K-slot bank if the batch can still improve
+            gen_len = (i + 1).astype(jnp.float32)
+            norm = sc2k / (gen_len ** lp)
+            rank_ok = (jnp.arange(K2) < K)[None]
+            batch_full = jnp.all(bank_fin, -1, keepdims=True) & es
+            addable = hits & rank_ok & ~batch_full & heur_unsat
+            merged_scores = jnp.concatenate(
+                [bank_scores, jnp.where(addable, norm, NEG)], axis=1)
+            merged_fin = jnp.concatenate([bank_fin, addable], axis=1)
+            merged_toks = jnp.concatenate([bank_toks, cand_toks], axis=1)
+            bank_scores, top_i = jax.lax.top_k(merged_scores, K)
+            bank_fin = take1(merged_fin, top_i)
+            bank_toks = jnp.take_along_axis(
+                merged_toks, top_i[:, :, None], axis=1)
+
+            # early-stop heuristic: can the best running beam still beat
+            # the worst banked hypothesis?  (sticky once satisfied)
+            best_possible = run_sel_scores[:, :1] / (gen_len ** lp)
+            worst_fin = jnp.where(
+                bank_fin, jnp.min(bank_scores, -1, keepdims=True), NEG)
+            heur_unsat = heur_unsat & jnp.any(
+                best_possible > worst_fin, -1, keepdims=True)
+            improvement = jnp.any(heur_unsat)
+            exists_open = ~(jnp.all(bank_fin) & es)
+            valid_cont = ~jnp.all(hits)
+            done = ~(improvement & exists_open & valid_cont)
+
             slot = t + i
             mask_full = jax.lax.dynamic_update_slice_in_dim(
                 mask_full, jnp.ones((bk, 1), mask_full.dtype), slot, axis=1)
-            logits, caches = m(tok_flat[:, None], attention_mask=mask_full,
+            logits, caches = m(new_tok.reshape(-1)[:, None],
+                               attention_mask=mask_full,
                                positions=pos[:, None], caches=caches,
                                cache_index=slot)
             return (i + 1, caches, mask_full, logits[:, 0], pos + 1,
-                    beam_scores, finished, out_toks)
+                    run_sel_scores, new_run_toks, bank_scores, bank_toks,
+                    bank_fin, heur_unsat, rng, done)
 
         carry = (jnp.int32(0), caches, mask_full, last_logit, next_pos,
-                 beam_scores, finished, out_toks)
+                 run_scores, run_toks, bank_scores, bank_toks, bank_fin,
+                 heur_unsat, rng, jnp.array(False))
         carry = jax.lax.while_loop(cond, step, carry)
-        beam_scores, finished, out_toks = carry[5], carry[6], carry[7]
-        # length-normalised selection of the best beam per example
-        lengths = jnp.sum(out_toks != cfg.pad_token_id, -1).clip(1)
-        norm = beam_scores / (lengths.astype(jnp.float32) ** cfg.length_penalty)
-        best = jnp.argmax(norm.reshape(b, K), -1)  # (b,)
-        out = out_toks.reshape(b, K, -1)[jnp.arange(b), best]
-        return out
+        # bank is kept sorted descending by lax.top_k: slot 0 is the best
+        return carry[8][:, 0]
 
     return run
 
 
 def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig,
+                  rng: Optional[Array] = None,
                   prefill_hooks=None, intervention_locations=None):
-    """Beam search with early stopping and length-normalised scoring.
+    """HF-parity beam search (see ``_compiled_beam``); ``rng`` is only
+    consumed when ``do_sample`` (beam-sample via Gumbel top-k).
 
     intervention_locations / prefill_hooks must already be built for the
     beam-EXPANDED batch (b*K) when interventions are used (the reference
     repeat-interleaves locations per beam, compute_metrics.py:164-166)."""
     graphdef, state = nnx.split(model)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
     has_locs = intervention_locations is not None
     if prefill_hooks is not None:
         run = _compiled_beam.__wrapped__(graphdef, gen_config, False,
@@ -369,5 +448,6 @@ def beam_generate(model, input_ids, attention_mask, gen_config: GenerationConfig
     else:
         run = _compiled_beam(graphdef, gen_config, has_locs)
     locs = jnp.asarray(intervention_locations) if has_locs else None
-    toks = run(state, jnp.asarray(input_ids), jnp.asarray(attention_mask), locs)
+    toks = run(state, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+               rng, locs)
     return jnp.concatenate([jnp.asarray(input_ids), toks], axis=-1)

@@ -105,3 +105,57 @@ def test_beam4_decode_matches_hf(pair):
                          length_penalty=1.0, early_stopping=True,
                          eos_token_id=None)))
     np.testing.assert_array_equal(got[:, -NEW:], want[:, -NEW:])
+
+
+@pytest.mark.parametrize("early_stopping", [True, False])
+def test_beam4_decode_with_eos_matches_hf(pair, early_stopping):
+    """Beam search where beams actually hit EOS: HF banks finished
+    hypotheses and refills the live set from the top-2K pool; the frozen-
+    beam shortcut diverges here.  Token-exact match required."""
+    hf_model, model = pair
+    ids, mask = _prompts()
+    probe = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, num_beams=4, eos_token_id=None)))
+    eos = int(probe[0, -NEW + 3])  # a token beams are likely to reach
+    with torch.no_grad():
+        want = hf_model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_new_tokens=NEW, do_sample=False, num_beams=4,
+            length_penalty=1.0, early_stopping=early_stopping,
+            eos_token_id=eos, pad_token_id=0).numpy()
+    got = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, num_beams=4,
+                         length_penalty=1.0, early_stopping=early_stopping,
+                         eos_token_id=eos, pad_token_id=0)))
+    n = want.shape[1] - ids.shape[1]  # HF trims once every batch finished
+    np.testing.assert_array_equal(
+        got[:, ids.shape[1]:ids.shape[1] + n], want[:, ids.shape[1]:])
+
+
+@pytest.mark.parametrize("length_penalty", [0.0, 0.6, 2.0])
+def test_beam4_length_penalty_matches_hf(pair, length_penalty):
+    """Length-normalised hypothesis selection: HF divides by GENERATED
+    length (cur_len - prompt_len) ** penalty; the chosen beam must match
+    at penalties that actually reorder hypotheses."""
+    hf_model, model = pair
+    ids, mask = _prompts()
+    probe = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, num_beams=4, eos_token_id=None)))
+    eos = int(probe[1, -NEW + 2])
+    with torch.no_grad():
+        want = hf_model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_new_tokens=NEW, do_sample=False, num_beams=4,
+            length_penalty=length_penalty, early_stopping=True,
+            eos_token_id=eos, pad_token_id=0).numpy()
+    got = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, num_beams=4,
+                         length_penalty=length_penalty, early_stopping=True,
+                         eos_token_id=eos, pad_token_id=0)))
+    n = want.shape[1] - ids.shape[1]
+    np.testing.assert_array_equal(
+        got[:, ids.shape[1]:ids.shape[1] + n], want[:, ids.shape[1]:])
