@@ -20,6 +20,7 @@ from flax import nnx
 
 from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig
 from sparse_matrix_fine_tuning_tpu.ops.activations import swiglu
+from sparse_matrix_fine_tuning_tpu.parallel.annotate import shard_tokens
 
 Array = jax.Array
 
@@ -210,7 +211,9 @@ class LlamaModel(nnx.Module):
         Training-path only (decode never packs)."""
         block_hooks, inner_hooks = self._split_hooks(layer_hooks)
         b, t = input_ids.shape
-        x = self.embed_tokens(input_ids)
+        # sequence-parallel boundary annotations (parallel/annotate.py):
+        # no-ops unless the Trainer installed a tp>1 mesh for this trace
+        x = shard_tokens(self.embed_tokens(input_ids))
         if positions is None:
             if segment_ids is not None:
                 # position = offset within the token's own segment
@@ -252,12 +255,13 @@ class LlamaModel(nnx.Module):
                 for i, lyr in enumerate(self.layers):
                     run = plain_run if i not in inner_hooks \
                         else make_run(inner_hooks[i])
-                    x = run(lyr, x, bias, positions)
+                    x = shard_tokens(run(lyr, x, bias, positions))
                     if i in block_hooks:
                         x = block_hooks[i](x)
             else:
                 for i, lyr in enumerate(self.layers):
                     x, _ = lyr(x, bias, positions, hooks=inner_hooks.get(i))
+                    x = shard_tokens(x)
                     if i in block_hooks:
                         x = block_hooks[i](x)
         else:
@@ -277,7 +281,7 @@ class LlamaModel(nnx.Module):
                 if i in block_hooks:
                     x = block_hooks[i](x)
                 new_caches.append(nc)
-        x = self.norm(x)
+        x = shard_tokens(self.norm(x))
         return x, new_caches
 
 

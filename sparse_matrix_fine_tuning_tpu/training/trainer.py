@@ -92,6 +92,10 @@ class TrainingArgs:
     # batch padding to the global max
     group_by_length: bool = False
     length_bucket: int = 64
+    # Megatron-style sequence parallelism (parallel/annotate.py): shard the
+    # residual-stream/norm activations over the tp mesh axis along seq.
+    # "auto" = on whenever the mesh has tp > 1; "on" / "off" force it.
+    sequence_parallel: str = "auto"
 
 
 class Trainer:
@@ -303,6 +307,25 @@ class Trainer:
 
             train_step = make_split(train_step_raw)
             train_step_accum = make_split(train_step_accum_raw)
+
+        tp_size = self.mesh.shape.get("tp", 1) if self.mesh is not None else 1
+        sp_on = a.sequence_parallel == "on" or (
+            a.sequence_parallel == "auto" and tp_size > 1)
+        if sp_on and self.mesh is not None:
+            # scoped per call so the jit TRACES (which bake the constraints)
+            # see this trainer's mesh, and trainers without one are untouched
+            from sparse_matrix_fine_tuning_tpu.parallel.annotate import (
+                activation_mesh)
+
+            def with_sp(fn, mesh=self.mesh):
+                def wrapped(*args, **kw):
+                    with activation_mesh(mesh):
+                        return fn(*args, **kw)
+                return wrapped
+
+            train_step = with_sp(train_step)
+            train_step_accum = with_sp(train_step_accum)
+            eval_step = with_sp(eval_step)
 
         self._train_step = train_step
         self._train_step_accum = train_step_accum
