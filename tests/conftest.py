@@ -71,6 +71,7 @@ _SLOW_PATTERNS = (
     # covered by fast tests in the same modules
     "test_tp_quantized_eval_matches_replicated",
     "test_sp_on_off_losses_match",
+    "test_sharded_greedy_matches_unsharded",
     "test_trainer_integration_loss_decreases",
     "test_grid_search_runs_all_combos_end_to_end",
     "test_hpo_resume",
