@@ -2,9 +2,11 @@
 # change; `make test` runs the full suite including harness smokes /
 # multi-epoch trainers / virtual-mesh runs.
 #
-# Measured on the sandbox's single CPU core (2026-08-17, all green):
-#   test-fast  214 passed in 1:33  (3:36 with a cold jit cache)
-#   test-slow   75 passed in 5:19  (6:06 cold)
+# Measured on the sandbox's single CPU core (2026-08-19, all green):
+#   test-fast  195 passed in 2:20
+#   test-slow  202 passed in 18:57
+# (the round-3 reference-parity / decode-parity / harness additions are
+# tiered slow, which is why the slow tier grew)
 # tests/conftest.py persists EVERY jit compile to a shared disk cache
 # (min_compile_time 0), and the suite builds each tiny model once per
 # process, handing tests buffer-deep copies (utils/testing.fresh_model):
