@@ -3,6 +3,7 @@ from sparse_matrix_fine_tuning_tpu.parallel.annotate import (
     set_activation_mesh,
     shard_tokens,
 )
+from sparse_matrix_fine_tuning_tpu.parallel import multihost
 from sparse_matrix_fine_tuning_tpu.parallel.mesh import make_mesh
 from sparse_matrix_fine_tuning_tpu.parallel.sharding import (
     batch_sharding,
@@ -11,4 +12,5 @@ from sparse_matrix_fine_tuning_tpu.parallel.sharding import (
 )
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_state",
-           "activation_mesh", "set_activation_mesh", "shard_tokens"]
+           "activation_mesh", "set_activation_mesh", "shard_tokens",
+           "multihost"]

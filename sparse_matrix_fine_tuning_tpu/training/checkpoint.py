@@ -87,6 +87,12 @@ def save(output_dir: str, step: int, trainable, opt_state, *,
          extra_meta: Optional[dict] = None, rng_state=None) -> str:
     name = f"checkpoint-{tag}" if tag else f"checkpoint-{step}"
     path = os.path.join(output_dir, name)
+    import jax
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multihost: trainable/opt state is replicated, so process 0's
+        # write is complete; other hosts return the same path without
+        # touching the filesystem (it may even be shared storage)
+        return path
     os.makedirs(path, exist_ok=True)
     _save_tree(os.path.join(path, "trainable.npz"), trainable)
     _save_tree(os.path.join(path, "opt_state.npz"), opt_state)

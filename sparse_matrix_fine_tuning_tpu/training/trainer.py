@@ -406,8 +406,17 @@ class Trainer:
                 batch = {k: v.reshape(accum, batch_size, *v.shape[1:])
                          for k, v in batch.items()}
             if self.mesh is not None:
-                sh = batch_sharding(self.mesh, macro=accum > 1)
-                batch = {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+                if jax.process_count() > 1:
+                    # multihost: this process's rows are its slice of the
+                    # global batch (data pre-sharded per process, batch
+                    # size = per-process rows -- parallel/multihost.py)
+                    from sparse_matrix_fine_tuning_tpu.parallel.multihost import (
+                        global_batch)
+                    batch = global_batch(batch, self.mesh, macro=accum > 1)
+                else:
+                    sh = batch_sharding(self.mesh, macro=accum > 1)
+                    batch = {k: jax.device_put(jnp.asarray(v), sh)
+                             for k, v in batch.items()}
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             yield batch, len(sel)
