@@ -56,12 +56,17 @@ def initialize(coordinator_address: Optional[str] = None,
     process_id explicitly or via the standard env vars
     (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``).
     """
+    global _INITIALIZED
     # Idempotence must be checked WITHOUT jax.process_count(): that call
     # initialises the XLA backend, after which distributed.initialize
-    # refuses to run at all.
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized
+    # refuses to run at all.  jax.distributed.is_initialized() is the
+    # public API (jax >= 0.4.34); fall back to a module flag + catching
+    # the double-initialize RuntimeError on older versions.
+    if getattr(jax.distributed, "is_initialized", None) is not None:
+        if jax.distributed.is_initialized():
+            return
+    elif _INITIALIZED:
+        return
     kw = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
@@ -73,7 +78,17 @@ def initialize(coordinator_address: Optional[str] = None,
             else os.environ["JAX_PROCESS_ID"])
     if local_device_ids is not None:
         kw["local_device_ids"] = local_device_ids
-    jax.distributed.initialize(**kw)
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:
+        # older-jax fallback path raced another initialize; treat the
+        # "already initialized" error as idempotent success, re-raise rest
+        if "already" not in str(e).lower():
+            raise
+    _INITIALIZED = True
+
+
+_INITIALIZED = False
 
 
 def is_primary() -> bool:
@@ -85,18 +100,34 @@ def shard_data_for_process(data: Mapping[str, np.ndarray],
                            *, drop_remainder: bool = True) -> dict:
     """Contiguous per-process split of a dict-of-arrays dataset.
 
-    With ``drop_remainder`` (default) every process gets exactly
-    ``n // process_count`` rows so all hosts see the same number of
-    batches -- mandatory under SPMD, where every process must enter every
-    collective.  The dropped tail is at most process_count - 1 rows.
+    Every process ALWAYS receives the same number of rows -- mandatory
+    under SPMD, where every host must see the same number of batches and
+    enter every collective.  With ``drop_remainder`` (default) that count
+    is ``n // process_count`` (the dropped tail is at most
+    process_count - 1 rows); with ``drop_remainder=False`` it is
+    ``ceil(n / process_count)`` and the final process's short tail is
+    padded by repeating the dataset's last rows (at most
+    process_count - 1 duplicate rows across the whole job -- the
+    eval-style choice when no example may be dropped).
     """
     nproc, pid = jax.process_count(), jax.process_index()
     if nproc == 1:
         return dict(data)
     n = min(len(v) for v in data.values())
-    per = n // nproc if drop_remainder else -(-n // nproc)
+    if drop_remainder:
+        per = n // nproc
+        lo = pid * per
+        return {k: v[lo:lo + per] for k, v in data.items()}
+    per = -(-n // nproc)
     lo, hi = pid * per, min((pid + 1) * per, n)
-    return {k: v[lo:hi] for k, v in data.items()}
+    pad = per - (hi - lo)
+    out = {}
+    for k, v in data.items():
+        shard = v[lo:hi]
+        if pad:
+            shard = np.concatenate([shard, np.repeat(v[-1:], pad, axis=0)])
+        out[k] = shard
+    return out
 
 
 def global_batch(batch: Mapping[str, "np.ndarray"], mesh: Mesh,

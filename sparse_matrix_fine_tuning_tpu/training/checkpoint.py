@@ -87,11 +87,13 @@ def save(output_dir: str, step: int, trainable, opt_state, *,
          extra_meta: Optional[dict] = None, rng_state=None) -> str:
     name = f"checkpoint-{tag}" if tag else f"checkpoint-{step}"
     path = os.path.join(output_dir, name)
-    import jax
     if jax.process_count() > 1 and jax.process_index() != 0:
         # multihost: trainable/opt state is replicated, so process 0's
         # write is complete; other hosts return the same path without
-        # touching the filesystem (it may even be shared storage)
+        # touching the filesystem (it may even be shared storage) -- but
+        # they must WAIT at the barrier below so no host races ahead and
+        # reads (load_best_model_at_end, resume) a half-written checkpoint
+        _barrier(f"ckpt_save:{name}:{step}")
         return path
     os.makedirs(path, exist_ok=True)
     _save_tree(os.path.join(path, "trainable.npz"), trainable)
@@ -113,7 +115,17 @@ def save(output_dir: str, step: int, trainable, opt_state, *,
         open(os.path.join(output_dir, "completed"), "w").close()
     if save_total_limit:
         _prune(output_dir, save_total_limit)
+    if jax.process_count() > 1:
+        # release the non-primary hosts only after the write finished
+        _barrier(f"ckpt_save:{name}:{step}")
     return path
+
+
+def _barrier(key: str) -> None:
+    """Cross-host barrier keyed by ``key`` (all processes must pass the
+    same key).  Serializes multihost checkpoint writes against reads."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(key)
 
 
 def _prune(output_dir: str, limit: int):
@@ -134,6 +146,10 @@ def load(path: str, trainable_template, opt_state_template,
     """Restore (trainable, opt_state, meta[, rng_state]) using the live
     states as structural templates.  rng_state is returned (possibly just
     the template) only when a template is given."""
+    if jax.process_count() > 1:
+        # no host may read a checkpoint another host might still be
+        # writing; pairs with the barrier at the end of save()
+        _barrier(f"ckpt_load:{os.path.basename(path)}")
     trainable = _load_tree(os.path.join(path, "trainable.npz"),
                            trainable_template, strict=True)
     opt_path = os.path.join(path, "opt_state.npz")

@@ -49,6 +49,12 @@ class TrainingArgs:
     learning_rate: float = 5e-5
     num_train_epochs: float = 3.0
     max_steps: int = -1
+    # Single-host: the per-STEP micro-batch size over all local devices
+    # (HF meaning at device_count=1; with a mesh the batch axis is sharded
+    # over dp/fsdp).  Multihost (jax.process_count() > 1): the PER-PROCESS
+    # rows this host feeds -- the global micro-batch is
+    # per_device_train_batch_size * process_count (parallel/multihost.py
+    # contract); single-host configs port unchanged per host, not per pod.
     per_device_train_batch_size: int = 16
     per_device_eval_batch_size: int = 32
     gradient_accumulation_steps: int = 1
@@ -353,13 +359,23 @@ class Trainer:
 
     def _trim_batch(self, batch):
         """Trim the time axis to the batch's bucketed max length.  Buckets
-        are multiples of ``length_bucket`` so only a few shapes compile."""
+        are multiples of ``length_bucket`` so only a few shapes compile.
+
+        Multihost: each process holds a DIFFERENT slice of the global
+        batch, so the trim length is the cross-host max of the bucketed
+        local maxes -- trimming to the local max would hand
+        ``make_array_from_process_local_data`` different global shapes on
+        different hosts and hang the collectives."""
         if "attention_mask" not in batch:
             return batch
         T = batch["attention_mask"].shape[-1]
         maxlen = int(batch["attention_mask"].sum(axis=1).max())
         q = max(self.args.length_bucket, 1)
         maxlen = min(-(-maxlen // q) * q, T)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            maxlen = int(np.max(multihost_utils.process_allgather(
+                np.int32(maxlen))))
         if maxlen >= T:
             return batch
         return {k: (v[:, :maxlen] if k in self._TIME_KEYS
@@ -583,13 +599,32 @@ class Trainer:
     def _maybe_resume(self):
         last, completed = ckpt_lib.get_last_checkpoint(
             self.args.output_dir, even_if_completed=True)
-        if last is None:
-            return
-        meta_path = os.path.join(last, "meta.json")
+        meta_path = os.path.join(last, "meta.json") if last else ""
         ckpt_step = 0
-        if os.path.exists(meta_path):
+        if last and os.path.exists(meta_path):
             with open(meta_path) as f:
                 ckpt_step = json.load(f).get("step", 0)
+        if jax.process_count() > 1:
+            # every host must take the SAME resume decision or the SPMD
+            # program silently desynchronizes (proc 0 resumes at step k,
+            # others start fresh).  Broadcast proc 0's view and fail
+            # loudly on divergence -- which means the checkpoint dir is
+            # not on storage visible to every process.
+            from jax.experimental import multihost_utils
+            local = np.asarray(
+                [int(last is not None), int(completed), ckpt_step], np.int32)
+            root = np.asarray(multihost_utils.broadcast_one_to_all(local))
+            if not np.array_equal(local, root):
+                raise RuntimeError(
+                    f"multihost resume divergence: process "
+                    f"{jax.process_index()} sees (found={bool(local[0])}, "
+                    f"completed={bool(local[1])}, step={int(local[2])}) in "
+                    f"{self.args.output_dir!r} but process 0 sees "
+                    f"(found={bool(root[0])}, completed={bool(root[1])}, "
+                    f"step={int(root[2])}); checkpoints must live on "
+                    f"storage visible to every process")
+        if last is None:
+            return
         if completed and ckpt_step >= self.num_training_steps():
             # genuinely finished at this budget: LOAD the finished weights
             # so train() no-ops (step >= total) instead of silently

@@ -91,9 +91,35 @@ def main():
         losses.append(float(tr._train_step_accum(
             tr.model, tr.optimizer, batch)))
     ckpt = tr.save_checkpoint(tag="mh")
+    # exercise the multihost read path: every host loads what proc 0
+    # wrote (barriers in training/checkpoint.py keep this race-free)
+    tr.load_checkpoint(ckpt)
+
+    # group_by_length under multihost: each host's shard has DIFFERENT
+    # row lengths, so _trim_batch must agree on a cross-host trim length
+    # or make_array_from_process_local_data diverges and collectives hang
+    import numpy as np
+
+    glens = np.asarray([4, 12, 6, 16, 9, 3, 14, 7] * (N_ROWS // 8))
+    gmask = (np.arange(SEQ)[None, :] < glens[:, None]).astype(np.int32)
+    gdata = dict(build_data(), attention_mask=gmask)
+    glocal = multihost.shard_data_for_process(gdata)
+    from sparse_matrix_fine_tuning_tpu.training import TrainingArgs, Trainer
+    gargs = TrainingArgs(
+        output_dir=sys.argv[5] + "-gbl", learning_rate=1e-3, max_steps=STEPS,
+        per_device_train_batch_size=BS_LOCAL,
+        gradient_accumulation_steps=ACCUM, logging_steps=0,
+        log_param_steps=0, group_by_length=True, length_bucket=8)
+    gtr = Trainer(tr.model, gargs, train_data=glocal, loss_fn=lm_loss,
+                  mesh=mesh)
+    gbl_shapes = []
+    for batch, _ in gtr._batches(glocal, BS_LOCAL, shuffle=True,
+                                 seed=0, accum=ACCUM):
+        gbl_shapes.append(list(batch["input_ids"].shape))
 
     with open(out_path, "w") as f:
         json.dump({"process": pid, "losses": losses, "ckpt": ckpt,
+                   "gbl_shapes": gbl_shapes,
                    "is_primary": multihost.is_primary()}, f)
 
 

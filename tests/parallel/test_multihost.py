@@ -67,6 +67,14 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert recs[0]["ckpt"] == recs[1]["ckpt"]
     assert os.path.exists(os.path.join(recs[0]["ckpt"], "trainable.npz"))
 
+    # group_by_length: the per-host trim lengths must agree (cross-host
+    # max in Trainer._trim_batch) -- divergent shapes would have hung the
+    # workers long before this assert
+    assert recs[0]["gbl_shapes"] == recs[1]["gbl_shapes"]
+    assert len(recs[0]["gbl_shapes"]) > 1
+    # and trimming actually happened (some batch shorter than full SEQ)
+    assert any(s[-1] < w.SEQ for s in recs[0]["gbl_shapes"])
+
     # single-process 8-device reference with the SAME global batch
     # composition: multihost global batch i = [host0 rows, host1 rows]
     # (contiguous shards), i.e. a fixed permutation of the dataset
