@@ -2,18 +2,18 @@
 # change; `make test` runs the full suite including harness smokes /
 # multi-epoch trainers / virtual-mesh runs.
 #
-# Measured on the sandbox's single CPU core (2026-08-19, all green):
-#   test-fast  195 passed in 2:20
-#   test-slow  202 passed in 18:57
-# (the round-3 reference-parity / decode-parity / harness additions are
-# tiered slow, which is why the slow tier grew)
+# Measured WARM (shared jit disk cache populated) on the sandbox's single
+# CPU core (2026-08-19, all green):
+#   test-fast  195 passed in ~1:20
+#   test-slow  ~205 passed in ~5:40
+# Cold-cache runs are several times slower (every jit compiles once); on a
+# multi-core box use `make test-par` (pytest-xdist), which shares the same
+# disk cache across workers.
 # tests/conftest.py persists EVERY jit compile to a shared disk cache
 # (min_compile_time 0), and the suite builds each tiny model once per
-# process, handing tests buffer-deep copies (utils/testing.fresh_model):
-# construction is seconds per model on one core, copies are milliseconds.
-# On a normal multi-core box both tiers are several times faster.
+# process, handing tests buffer-deep copies (utils/testing.fresh_model).
 
-.PHONY: test test-fast test-slow bench
+.PHONY: test test-fast test-slow test-par bench
 
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
@@ -23,6 +23,10 @@ test-slow:
 
 test:
 	python -m pytest tests/ -q
+
+# parallel full suite for multi-core boxes; workers share the compile cache
+test-par:
+	python -m pytest tests/ -q -n auto
 
 bench:
 	python bench.py
