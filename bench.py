@@ -105,6 +105,70 @@ def _emit_stale_record(reason: str) -> None:
         print(f"bench: stale-record fallback failed: {e}", file=sys.stderr)
 
 
+def _bench_int8_decode():
+    """Greedy decode tokens/s, int8 frozen base + unmerged Monarch adapters
+    (the serving sweet spot -- docs/BENCHMARKS.md decode table), on the
+    TinyLlama-1.1B shape.  Slope-timed: one call generating N tokens vs one
+    generating 3N with fresh prompts (identical-args calls are elided by
+    the tunnel), per-token = slope; cancels prefill + dispatch cost."""
+    import time as _time
+
+    import numpy as onp
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models import (
+        LlamaConfig, LlamaForCausalLM)
+    from sparse_matrix_fine_tuning_tpu.models.generate import (
+        GenerationConfig, generate)
+    from sparse_matrix_fine_tuning_tpu.peft import init_monarch
+    from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
+
+    B, NEW, PROMPT = 4, 128, 64
+    try:
+        cfg = LlamaConfig(
+            vocab_size=32000, hidden_size=2048, num_hidden_layers=22,
+            num_attention_heads=32, num_key_value_heads=4,
+            intermediate_size=5632, param_dtype="bfloat16", dtype="bfloat16",
+            max_position_embeddings=PROMPT + 3 * NEW)
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        init_monarch(model, {
+            "monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
+            "target_modules": ["q_proj", "v_proj", "k_proj", "o_proj",
+                               "gate_proj", "up_proj", "down_proj"]},
+            rngs=nnx.Rngs(1))
+        quantize_frozen_base(model, bits=8)
+        model.eval()
+        mask = jnp.ones((B, PROMPT), jnp.int32)
+        rng = np.random.default_rng(0)
+
+        def fresh_ids():
+            return jnp.asarray(rng.integers(2, cfg.vocab_size, (B, PROMPT)),
+                               jnp.int32)
+
+        def one_round():
+            gc_lo = GenerationConfig(max_new_tokens=NEW, eos_token_id=None)
+            gc_hi = GenerationConfig(max_new_tokens=3 * NEW, eos_token_id=None)
+            np.asarray(generate(model, fresh_ids(), mask, gc_lo))
+            np.asarray(generate(model, fresh_ids(), mask, gc_hi))
+            t0 = _time.perf_counter()
+            np.asarray(generate(model, fresh_ids(), mask, gc_lo))
+            t_lo = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            np.asarray(generate(model, fresh_ids(), mask, gc_hi))
+            t_hi = _time.perf_counter() - t0
+            return (t_hi - t_lo) / (2 * NEW)
+
+        per_tok = statistics.median(one_round() for _ in range(3))
+        return {
+            "ms_per_decode_step": round(per_tok * 1e3, 2),
+            "tokens_per_s": round(B / per_tok),
+            "config": ("TinyLlama-1.1B shape (2048h x 22L, GQA4), int8 "
+                       "frozen base + fused dequant-matmul kernels + "
+                       "unmerged Monarch adapters, greedy, batch 4"),
+        }
+    except Exception as e:  # noqa: BLE001 -- decode bench must not sink the record
+        return {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
 def main():
     _require_responsive_chip()
     from sparse_matrix_fine_tuning_tpu.kernels.merged import (
@@ -182,11 +246,23 @@ def main():
             lambda a, b, x: sq(merged_apply(x, wm, wm_t, a, b)),
             w1_, w2_, xs)
 
+    # third production path: the fused-add Pallas kernel (base + monarch(x)
+    # in one pass), usable when merging is off (e.g. memory-tight 7B)
+    from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+        monarch_add, monarch_kernel_supported)
+
+    def macro_fused_add(w1_, w2_, xs):
+        return scan_grads(
+            lambda a, b, x: sq(monarch_add(dense_fwd(x, wd), x, a, b)),
+            w1_, w2_, xs)
+
     loops = {
         "dense": (loop_dense, (wd, xs)),
         "xla": (make_loop(macro_xla), (w1, w2, xs)),
         "merged": (make_loop(macro_merged), (w1, w2, xs)),
     }
+    if monarch_kernel_supported(n, w1.shape, w2.shape):
+        loops["fused_add"] = (make_loop(macro_fused_add), (w1, w2, xs))
     # interleave rounds; medians (single-shot slope noise ~ +-10 us)
     results = {k: [] for k in loops}
     for _ in range(3):
@@ -195,6 +271,8 @@ def main():
     t_dense = statistics.median(results["dense"])
     t_xla = statistics.median(results["xla"])
     t_merged = statistics.median(results["merged"])
+    t_fadd = (statistics.median(results["fused_add"])
+              if "fused_add" in results else None)
 
     marg_xla = t_xla - t_dense
     marg_merged = t_merged - t_dense
@@ -202,21 +280,30 @@ def main():
     layer_speedup = t_xla / t_merged
 
     # ---- blk_r sweep {4, 8, 16} at the 7B projection shape: the north-star
-    # pins blk_r=8 (BASELINE.md); 16 = the reference kernel-bench config
-    sweep = {4: {"marginal_xla_us": round(marg_xla * 1e6, 1),
-                 "marginal_merged_us": round(marg_merged * 1e6, 1),
-                 "overhead_speedup": round(overhead_speedup, 3)}}
+    # pins blk_r=8 (BASELINE.md); 16 = the reference kernel-bench config.
+    # All three production paths (unfused XLA / fused-add Pallas / merged)
+    # are captured per rank.
+    def _sweep_entry(tx, tm, tf):
+        ent = {
+            "marginal_xla_us": round((tx - t_dense) * 1e6, 1),
+            "marginal_merged_us": round((tm - t_dense) * 1e6, 1),
+            "overhead_speedup": round((tx - t_dense) / max(tm - t_dense, 1e-9), 3),
+        }
+        ent["marginal_fused_add_us"] = (
+            round((tf - t_dense) * 1e6, 1) if tf is not None else None)
+        return ent
+
+    sweep = {4: _sweep_entry(t_xla, t_merged, t_fadd)}
     for rr in (8, 16):
         k1, k2 = jax.random.split(jax.random.PRNGKey(rr), 2)
         w1r = jax.random.normal(k1, (K, rr * K, n // K), dtype) * 0.02
         w2r = jax.random.normal(k2, (K, m // K, rr * K), dtype) * 0.02
         tx = slope_time(make_loop(macro_xla), (w1r, w2r, xs), iters=12) / G
         tm = slope_time(make_loop(macro_merged), (w1r, w2r, xs), iters=12) / G
-        sweep[rr] = {
-            "marginal_xla_us": round((tx - t_dense) * 1e6, 1),
-            "marginal_merged_us": round((tm - t_dense) * 1e6, 1),
-            "overhead_speedup": round((tx - t_dense) / max(tm - t_dense, 1e-9), 3),
-        }
+        tf = (slope_time(make_loop(macro_fused_add), (w1r, w2r, xs),
+                         iters=12) / G
+              if monarch_kernel_supported(n, w1r.shape, w2r.shape) else None)
+        sweep[rr] = _sweep_entry(tx, tm, tf)
 
     # ---- north-star op roofline at blk_r=8: standalone monarch fwd+bwd
     # slope time vs the v5e HBM bound (the op is memory-bound at these
@@ -233,11 +320,27 @@ def main():
 
     # The op alone is ~100 us/iter while each dispatch costs ~24 ms through
     # the tunnel: a single-shot slope at small N is noise (one run measured
-    # a negative slope).  Median of interleaved rounds at larger N.
+    # a negative slope), and day-to-day tunnel state moves even 3-round
+    # medians by 1.5x (r03 99.3 us vs an early-r04 run at 174.7).  5 rounds.
     t_op8 = statistics.median(
         time_grad_steps(op_loss, ((w18, w28), xs[0]),
                         argnums=(0, 1), iters=64, chain_argnum=0)
-        for _ in range(3))
+        for _ in range(5))
+
+    # factor-gradient pass standalone, both implementations (the runtime
+    # gate picks per-runtime inside scans -- kernels/runtime_gate.py)
+    from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+        monarch_dw_fused)
+    from sparse_matrix_fine_tuning_tpu.ops.monarch import monarch_dw
+    from sparse_matrix_fine_tuning_tpu.utils.benchlib import time_fn
+
+    dout8 = jax.random.normal(jax.random.PRNGKey(7), (B, m), dtype)
+    t_dw_xla = statistics.median(
+        time_fn(lambda ws, a, d: monarch_dw(a, d, ws[0], ws[1])[:2],
+                ((w18, w28), xs[0], dout8), iters=128) for _ in range(3))
+    t_dw_fused = statistics.median(
+        time_fn(lambda ws, a, d: monarch_dw_fused(a, d, ws[0], ws[1]),
+                ((w18, w28), xs[0], dout8), iters=128) for _ in range(3))
     # Minimal-traffic floor for fwd + factor grads (the PEFT training case:
     # dx flows through the fused surrounding layer, factors are the only
     # HBM-resident grads): x read for fwd + re-read for dw1 (2 passes of
@@ -248,6 +351,15 @@ def main():
     floor_bytes = 2 * (2 * B * n + 2 * B * kq_total)
     hbm_peak = 819e9  # v5e HBM bytes/s (public spec)
     roofline_pct = (floor_bytes / t_op8) / hbm_peak * 100
+    # self-consistent floor of any REALIZABLE schedule with an external
+    # loss: fwd (x read + out write) + one-read bwd (x read + dout read).
+    # The 2-pass floor above zero-counts out/dout traffic, which only a
+    # loss-fusing kernel avoids -- and that kernel would also skip the
+    # second x pass, so no schedule's floor is 2-pass (committed analysis:
+    # results/north_star_floor.json, scripts/exp_north_star_floor.py).
+    floor_general = 2 * (B * n + B * m) + 2 * (B * n + B * m)
+    pct_general = (floor_general / t_op8) / hbm_peak * 100
+    dw_floor = 2 * (B * n + B * m)  # one read each of x and dout
 
     # ---- recipe-level: full-model optimizer-step throughput (production
     # Trainer path, merged-training auto) -- hidden-2048 8-layer Llama at
@@ -299,35 +411,105 @@ def main():
     step_ms = statistics.median(times) * 1e3
     tokens_per_s = BS * GA * T / (step_ms / 1e3)
 
+    # ---- MFU: model FLOPs per token / step time / v5e bf16 peak.
+    # Convention (PaLM-style): 6 * P_matmul per token for fwd+bwd of every
+    # 2D matmul incl. the lm_head (embedding LOOKUP excluded) plus
+    # 12 * L * hidden * seq for the attention score/value matmuls (full
+    # seq, causality not discounted).  Rematerialized recompute FLOPs are
+    # NOT counted (MFU measures useful model FLOPs, so remat lowers MFU).
+    # Monarch adapter FLOPs are <0.3% at blk_r=4 and are excluded.
+    p_matmul = (cfg.num_hidden_layers
+                * (4 * cfg.hidden_size ** 2
+                   + 3 * cfg.hidden_size * cfg.intermediate_size)
+                + cfg.hidden_size * cfg.vocab_size)
+    flops_per_token = (6 * p_matmul
+                       + 12 * cfg.num_hidden_layers * cfg.hidden_size * T)
+    V5E_BF16_PEAK = 197e12  # public v5e spec
+    mfu_pct = flops_per_token * tokens_per_s / V5E_BF16_PEAK * 100
+
+    # ---- flagship 7B: the committed execution artifact (regenerated by
+    # scripts/regen_7b_artifact.sh; too slow to re-measure per bench run:
+    # compile+first-step alone is ~4 min).  Carried so every BENCH_rNN.json
+    # answers "does the full 7B train on one chip, and how fast".
+    flagship_7b = None
+    try:
+        import os as _os
+        art = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "results", "exp_7b_execution.jsonl")
+        with open(art) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("quant_host") and rec.get("executed"):
+                    flagship_7b = {
+                        "ms_per_step": rec["ms_per_step"],
+                        "tokens_per_s": rec["tokens_per_s"],
+                        "config": ("Llama-7B (32L x 4096h/11008i), int4 "
+                                   "host-quantized base + Monarch adapters "
+                                   "on all 7 projections, state_split, "
+                                   "remat, bs1 x seq256"),
+                        "losses": rec.get("losses"),
+                        "source": ("committed artifact results/"
+                                   "exp_7b_execution.jsonl (regen: "
+                                   "scripts/regen_7b_artifact.sh)"),
+                    }
+    except Exception as e:  # noqa: BLE001 -- artifact is optional context
+        flagship_7b = {"error": str(e)}
+
+    # ---- int8 serving decode: TinyLlama-1.1B-shaped greedy decode with a
+    # quantized frozen base + unmerged adapters (docs/BENCHMARKS.md decode
+    # table's sweet spot), slope-timed 128-vs-384 new tokens
+    int8_decode = _bench_int8_decode()
+
     print(json.dumps({
         "metric": "monarch_adapter_overhead_speedup_vs_xla_unfused",
         "value": round(overhead_speedup, 4),
         "unit": ("x adapter-marginal-cost cut (merged-training path; "
-                 "layer-level speedup %.3fx; per-micro-batch: dense-floor=%.0fus "
-                 "xla-unfused=%.0fus merged=%.0fus; adapter marginal "
-                 "+%.0fus -> +%.0fus; 2664x4096->4096 blkr4 nblocks4 bf16, "
-                 "ga=16 recipe, grads wrt w1/w2/x, slope-timed) vs the "
-                 "reference Triton kernel's ~1.2x op-level claim"
-                 % (layer_speedup, t_dense * 1e6, t_xla * 1e6, t_merged * 1e6,
-                    marg_xla * 1e6, marg_merged * 1e6)),
+                 "2664x4096->4096 blkr4 nblocks4 bf16, ga=16 recipe, grads "
+                 "wrt w1/w2/x, slope-timed) vs the reference Triton "
+                 "kernel's ~1.2x op-level claim"),
         "vs_baseline": round(overhead_speedup / 1.2, 4),
+        "layer_level_speedup": round(layer_speedup, 4),
+        "per_micro_batch_us": {
+            "dense_floor": round(t_dense * 1e6, 1),
+            "xla_unfused": round(t_xla * 1e6, 1),
+            "fused_add": (round(t_fadd * 1e6, 1)
+                          if t_fadd is not None else None),
+            "merged": round(t_merged * 1e6, 1),
+        },
         "blk_r_sweep": sweep,
         "north_star_blk_r8": {
             "op_fwd_bwd_us": round(t_op8 * 1e6, 1),
             "hbm_roofline_pct": round(roofline_pct, 1),
+            "pct_of_general_floor": round(pct_general, 1),
+            "general_floor_us": round(floor_general / hbm_peak * 1e6, 1),
+            "dw_standalone_us": {"xla": round(t_dw_xla * 1e6, 1),
+                                 "fused_pallas": round(t_dw_fused * 1e6, 1),
+                                 "floor": round(dw_floor / hbm_peak * 1e6, 1)},
             "note": ("standalone monarch op (fwd + factor grads) at "
-                     "2664x4096->4096 blk_r=8; %% of the v5e 819 GB/s HBM "
-                     "bound against a minimal-traffic floor of 2 passes of "
-                     "x + 1 round-trip of the (B, %d) interleave = %.1f MB "
-                     "(op is memory-bound at this shape; MXU utilisation "
-                     "is secondary)" % (kq_total, floor_bytes / 1e6)),
+                     "2664x4096->4096 blk_r=8.  hbm_roofline_pct keeps the "
+                     "round-3 2-pass floor (%.1f MB) for continuity; "
+                     "pct_of_general_floor uses the floor of any realizable "
+                     "schedule with an external loss (fwd x-read + out-write "
+                     "+ one-read bwd = %.1f MB; derivation and measured "
+                     "bandwidth calibration in results/north_star_floor.json"
+                     ").  dw_standalone_us compares the XLA block path with "
+                     "the fused one-read Pallas kernel the runtime gate "
+                     "(kernels/runtime_gate.py) auto-selects per runtime."
+                     % (floor_bytes / 1e6, floor_general / 1e6)),
         },
         "recipe_level": {
             "model": "llama 2048h x 8L bf16 + monarch blk_r4 adapters",
             "config": "bs4 x ga8 x seq512, merged_training=auto, remat",
             "ms_per_opt_step": round(step_ms, 1),
             "tokens_per_s": round(tokens_per_s),
+            "mfu_pct": round(mfu_pct, 1),
+            "mfu_convention": ("6*P_matmul + 12*L*h*T per token (PaLM-style; "
+                               "lm_head in, embedding lookup + remat "
+                               "recompute + adapter FLOPs out) / 197 TF/s "
+                               "v5e bf16 peak"),
         },
+        "flagship_7b": flagship_7b,
+        "int8_decode": int8_decode,
     }))
 
 

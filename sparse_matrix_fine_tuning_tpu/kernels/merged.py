@@ -99,7 +99,18 @@ def _ma_bwd(res, dout):
         x2 = jnp.pad(x2, ((0, 0), (0, k * p - n)))
     if s * l > m:
         d2 = jnp.pad(d2, ((0, 0), (0, s * l - m)))
-    dw1, dw2, _ = monarch_dw(x2, d2, w1, w2)
+    # per-runtime kernel selection (static at trace time): the fused
+    # one-read Pallas dw where custom calls are penalty-free in-scan,
+    # XLA's block path where they are not (kernels/runtime_gate.py)
+    from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+        monarch_dw_fused, monarch_dw_fused_supported)
+    from sparse_matrix_fine_tuning_tpu.kernels.runtime_gate import use_fused_dw
+    if (monarch_dw_fused_supported(x2.shape[1], d2.shape[1],
+                                   w1.shape, w2.shape)
+            and use_fused_dw()):
+        dw1, dw2 = monarch_dw_fused(x2, d2, w1, w2)
+    else:
+        dw1, dw2, _ = monarch_dw(x2, d2, w1, w2)
     zero_wm = jnp.zeros((wm_t.shape[1], wm_t.shape[0]), wm_t.dtype)
     return dx.reshape(x.shape), zero_wm, jnp.zeros_like(wm_t), dw1, dw2
 

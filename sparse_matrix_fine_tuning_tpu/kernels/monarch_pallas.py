@@ -361,6 +361,111 @@ def monarch_kernel(x: Array, w1: Array, w2: Array, interpret: bool = False) -> A
     return _monarch_kernel_vjp(bool(interpret))(x, w1, w2)
 
 
+def _dw_only_kernel(x_ref, dout_ref, w1bd_ref, w2hat_ref, seqlen_ref,
+                    dw1bd_ref, dw2hat_ref):
+    """One-read factor-gradient pass: per sequence tile, read x and dout
+    ONCE and accumulate both dense grads in fp32 VMEM across sequential
+    grid steps (the TPU answer to the Triton backward's atomic_add
+    reduction, reference src/ops/triton.py:149-187).  No dx output -- in
+    merged training dx flows through the merged dense operand, so writing
+    dx here would waste a full HBM pass over a (B, n) array."""
+    i = pl.program_id(0)
+    ts = x_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _init():
+        dw1bd_ref[...] = jnp.zeros(dw1bd_ref.shape, dw1bd_ref.dtype)
+        dw2hat_ref[...] = jnp.zeros(dw2hat_ref.shape, dw2hat_ref.dtype)
+
+    valid = seqlen_ref[0] - i * ts
+    rmask = jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0) < valid
+    x = jnp.where(rmask, x_ref[...], 0)
+    dout = jnp.where(rmask, dout_ref[...], 0)
+
+    # recompute the small intermediate (one extra skinny matmul) instead of
+    # saving it -- residuals stay (x, dout) only
+    out1 = jnp.dot(x, w1bd_ref[...], preferred_element_type=jnp.float32
+                   ).astype(x.dtype)
+    dw2hat_ref[...] += jax.lax.dot_general(
+        out1, dout, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dout1 = jax.lax.dot_general(
+        dout, w2hat_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    dw1bd_ref[...] += jax.lax.dot_general(
+        x, dout1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def monarch_dw_fused_supported(n: int, m: int, w1_shape, w2_shape,
+                               itemsize: int = 2) -> bool:
+    """Auto-dispatch feasibility of the fused dw kernel: expanded bf16
+    weights + fp32 grad accumulators must fit the resident budget, and the
+    feature dims must be lane-aligned production shapes (Mosaic needs
+    128-multiple lane dims; below ~512 features the op is too small for
+    the kernel to matter and tiny-lane tiles are the territory where
+    interpret mode and real Mosaic diverge).  Direct calls with
+    interpret=True (tests) bypass this gate."""
+    k, q, p = w1_shape
+    l, s, r = w2_shape
+    if k * p != n or l * r != k * q or s * l != m:
+        return False
+    if n % 128 or m % 128 or n < 512 or m < 512:
+        return False
+    budgets = _vmem_budgets_or_none()
+    if budgets is None:
+        return False
+    return _expanded_bytes(n, m, k * q, itemsize) <= budgets[0]
+
+
+def monarch_dw_fused(x2d: Array, dout2d: Array, w1: Array, w2: Array,
+                     interpret: bool = False):
+    """Fused one-read factor gradients: (dw1, dw2) from (x, dout) in ONE
+    Pallas pass (~44 MB of traffic at the 7B projection shape vs the XLA
+    block path's relayout copies).  Production alternative to
+    ``ops.monarch.monarch_dw`` for the merged-training backward, selected
+    by ``kernels.runtime_gate.use_fused_dw()`` -- on runtimes where Pallas
+    custom calls inside jitted scans pay a layout/scheduling penalty
+    (this sandbox's tunnel runtime: ~175 us/call) the XLA path wins and
+    the gate keeps it."""
+    b, n = x2d.shape
+    m = dout2d.shape[1]
+    w1bd, w2hat = expand_monarch_factors(w1, w2)
+    itemsize = x2d.dtype.itemsize
+    kq = w1bd.shape[1]
+    fixed = (n * kq + kq * m) * (itemsize + 4)
+    ts = _pick_seq_tile((n + m) * itemsize, fixed)
+    grid = (pl.cdiv(b, ts),)
+    seqlen = jnp.array([b], dtype=jnp.int32)
+    dw1bd, dw2hat = pl.pallas_call(
+        _dw_only_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ts, n), lambda i: (i, 0)),
+            pl.BlockSpec((ts, m), lambda i: (i, 0)),
+            pl.BlockSpec((n, kq), lambda i: (0, 0)),
+            pl.BlockSpec((kq, m), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, kq), lambda i: (0, 0)),
+            pl.BlockSpec((kq, m), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, kq), jnp.float32),
+            jax.ShapeDtypeStruct((kq, m), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * kq * (2 * n + 2 * m),
+            bytes_accessed=(b * n + b * m) * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2d, dout2d, w1bd, w2hat, seqlen)
+    dw1, dw2 = _extract_dw(dw1bd, dw2hat, w1.shape, w2.shape)
+    return dw1.astype(w1.dtype), dw2.astype(w2.dtype)
+
+
 def monarch_mm(x: Array, w1: Array, w2: Array, impl: str = "auto") -> Array:
     """Dispatch between the fused Pallas kernel and the jnp/XLA path.
 

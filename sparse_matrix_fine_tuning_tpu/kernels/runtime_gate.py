@@ -1,0 +1,157 @@
+"""Per-runtime selection of the fused Pallas dw kernel vs the XLA path.
+
+The fused one-read factor-gradient kernel (``monarch_pallas.monarch_dw_fused``)
+moves the theoretical minimum of HBM traffic (one read each of x and dout)
+and wins standalone -- but on SOME runtimes a Pallas custom call inside a
+jitted scan pays a large layout/scheduling penalty that XLA dots do not.
+Measured on this sandbox's tunnel-attached v5e: ~175 us per call inside a
+ga=16 accumulation scan, which flips a 75-us standalone win into a
++252-us in-context loss (docs/BENCHMARKS.md "Merge-during-training",
+scripts/exp_dw_in_context.py).  That penalty is a property of the RUNTIME,
+not physics: on directly-attached hardware the fused kernel may win, so the
+choice must be measured where the code runs, not hardcoded (VERDICT r3 #2).
+
+``use_fused_dw()`` answers "should the merged-training backward use the
+fused kernel on THIS runtime?":
+
+  * env ``SMFT_PALLAS_DW=on|off`` forces the answer (no probe);
+  * non-TPU backends answer False (the kernel needs Mosaic);
+  * otherwise a ONE-TIME probe times both implementations inside the same
+    ga-style scan harness the trainer uses (slope-timed via utils/benchlib,
+    which cancels the fixed dispatch cost and defeats the tunnel's
+    identical-call elision) and picks the faster.  The verdict is cached
+    in-process and persisted to a sidecar JSON keyed by device kind + jax
+    version, so the probe's two small compiles are paid once per machine.
+
+The probe runs lazily on first query.  ``Trainer`` resolves it eagerly when
+it enables merged training so the cost lands in setup, not inside the first
+train-step trace.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_DECISION: Optional[bool] = None
+
+
+def _cache_key() -> str:
+    dev = jax.devices()[0]
+    raw = f"{dev.device_kind}|{jax.__version__}|{jax.default_backend()}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:16]
+
+
+def _cache_path() -> str:
+    return os.path.join(tempfile.gettempdir(),
+                        f"smft_dw_gate_{_cache_key()}.json")
+
+
+def _probe() -> bool:
+    """Time XLA vs fused-Pallas dw inside a ga-style scan; True if the
+    fused kernel is faster ON THIS RUNTIME.  Shape: a scaled-down analogue
+    of the 7B projection (B=2048, n=m=2048, blk_r=8) -- small enough to
+    compile fast, big enough that the ~175-us-class custom-call penalty
+    (when present) dwarfs the op and decides the comparison."""
+    import statistics
+
+    from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+        monarch_dw_fused, monarch_dw_fused_supported)
+    from sparse_matrix_fine_tuning_tpu.ops.monarch import monarch_dw
+    from sparse_matrix_fine_tuning_tpu.utils.benchlib import slope_time
+
+    B, n, K, r, G = 2048, 2048, 4, 8, 8
+    if not monarch_dw_fused_supported(n, n, (K, r * K, n // K),
+                                      (K, n // K, r * K)):
+        return False
+    dtype = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    xs = jax.random.normal(ks[0], (G, B, n), dtype)
+    douts = jax.random.normal(ks[1], (G, B, n), dtype)
+    w1 = jax.random.normal(ks[2], (K, r * K, n // K), dtype) * 0.02
+    w2 = jnp.zeros((K, n // K, r * K), dtype)
+
+    def make_loop(fused: bool):
+        @jax.jit
+        def loop(w1_, w2_, xs, douts, nn):
+            def body(i, carry):
+                w1c, w2c, acc = carry
+
+                def sbody(acc2, xd):
+                    x, d = xd
+                    if fused:
+                        g1, g2 = monarch_dw_fused(x, d, w1c, w2c)
+                    else:
+                        g1, g2, _ = monarch_dw(x, d, w1c, w2c)
+                    return (acc2[0] + g1.astype(jnp.float32),
+                            acc2[1] + g2.astype(jnp.float32)), None
+
+                (g1, g2), _ = jax.lax.scan(
+                    sbody, (jnp.zeros(w1_.shape, jnp.float32),
+                            jnp.zeros(w2_.shape, jnp.float32)), (xs, douts))
+                w1c = w1c + (g1 * 1e-30).astype(w1c.dtype)
+                w2c = w2c + (g2 * 1e-30).astype(w2c.dtype)
+                return (w1c, w2c, acc + jnp.sum(g1) * 1e-30)
+            return jax.lax.fori_loop(
+                0, nn, body, (w1_, w2_, jnp.float32(0)))[2]
+        return loop
+
+    loops = {False: make_loop(False), True: make_loop(True)}
+    results = {False: [], True: []}
+    for _ in range(2):  # interleaved rounds, median
+        for fused, loop in loops.items():
+            results[fused].append(
+                slope_time(loop, (w1, w2, xs, douts), iters=8) / G)
+    t_xla = statistics.median(results[False])
+    t_pallas = statistics.median(results[True])
+    return t_pallas < t_xla
+
+
+def use_fused_dw() -> bool:
+    """Should the merged-training backward use the fused Pallas dw kernel
+    on this runtime?  Cheap after the first call (cached decision)."""
+    global _DECISION
+    if _DECISION is not None:
+        return _DECISION
+    env = os.environ.get("SMFT_PALLAS_DW", "auto").lower()
+    if env == "on":
+        _DECISION = True
+        return True
+    if env == "off":
+        _DECISION = False
+        return False
+    if jax.default_backend() != "tpu":
+        _DECISION = False
+        return False
+    path = _cache_path()
+    try:
+        with open(path) as f:
+            _DECISION = bool(json.load(f)["fused_dw"])
+        return _DECISION
+    except Exception:  # noqa: BLE001 -- absent/corrupt cache: re-probe
+        pass
+    try:
+        verdict = _probe()
+    except Exception as e:  # noqa: BLE001 -- a failed probe must never
+        # sink training; XLA is always correct
+        print(f"[runtime_gate] fused-dw probe failed ({type(e).__name__}: "
+              f"{str(e)[:120]}); keeping the XLA path", flush=True)
+        verdict = False
+    _DECISION = verdict
+    try:
+        with open(path, "w") as f:
+            json.dump({"fused_dw": verdict}, f)
+    except OSError:
+        pass
+    return verdict
+
+
+def _reset_for_tests() -> None:
+    global _DECISION
+    _DECISION = None

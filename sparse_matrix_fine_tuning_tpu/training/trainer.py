@@ -187,6 +187,13 @@ class Trainer:
             from sparse_matrix_fine_tuning_tpu.peft.surgery import (
                 enable_merged_training)
             self._n_merged = enable_merged_training(self.model, min_dim=4096)
+        if self._n_merged:
+            # resolve the per-runtime dw-kernel choice NOW so the one-time
+            # probe (if any) runs in setup, not inside the first train-step
+            # trace (kernels/runtime_gate.py)
+            from sparse_matrix_fine_tuning_tpu.kernels.runtime_gate import (
+                use_fused_dw)
+            use_fused_dw()
 
         total = self.num_training_steps() if self.train_data is not None else 1
         G = max(a.gradient_accumulation_steps, 1)

@@ -64,3 +64,76 @@ def test_3d_batch_shape():
     assert out.shape == (3, 4, 64)
     ref = blockdiag_butterfly_multiply(x3, w1, w2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("batch,K,Q,P,S", CASES)
+def test_fused_dw_matches_xla(batch, K, Q, P, S):
+    """monarch_dw_fused (one-read Pallas dw pass) == ops.monarch.monarch_dw."""
+    from sparse_matrix_fine_tuning_tpu.kernels.monarch_pallas import (
+        monarch_dw_fused, monarch_dw_fused_supported)
+    from sparse_matrix_fine_tuning_tpu.ops.monarch import monarch_dw
+
+    x, w1, w2 = _mk(batch, K, Q, P, S, seed=4)
+    dout = jax.random.normal(jax.random.PRNGKey(5), (batch, S * K))
+    ref1, ref2, _ = monarch_dw(x, dout, w1, w2)
+    got1, got2 = monarch_dw_fused(x, dout, w1, w2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_runtime_gate_env_and_defaults(monkeypatch, tmp_path):
+    """Gate: env force-on/off respected; non-TPU backend defaults to XLA;
+    decision is cached in-process."""
+    from sparse_matrix_fine_tuning_tpu.kernels import runtime_gate as rg
+
+    monkeypatch.setenv("SMFT_PALLAS_DW", "on")
+    rg._reset_for_tests()
+    assert rg.use_fused_dw() is True
+
+    monkeypatch.setenv("SMFT_PALLAS_DW", "off")
+    rg._reset_for_tests()
+    assert rg.use_fused_dw() is False
+
+    # auto on the CPU test backend: no probe, XLA path
+    monkeypatch.setenv("SMFT_PALLAS_DW", "auto")
+    rg._reset_for_tests()
+    assert rg.use_fused_dw() is False
+    rg._reset_for_tests()
+
+
+def test_merged_bwd_fused_dispatch(monkeypatch):
+    """merged_apply's backward produces identical factor grads through the
+    fused-Pallas branch (forced on, interpret mode) and the XLA branch."""
+    from sparse_matrix_fine_tuning_tpu.kernels import (
+        merged, monarch_pallas, runtime_gate as rg)
+
+    B, n, K, r = 64, 512, 4, 4  # n >= 512: passes the fused-dispatch gate
+    dtype = jnp.float32
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    x = jax.random.normal(ks[0], (B, n), dtype)
+    wd = jax.random.normal(ks[1], (n, n), dtype) * 0.05
+    w1 = jax.random.normal(ks[2], (K, r * K, n // K), dtype) * 0.05
+    w2 = jax.random.normal(ks[3], (K, n // K, r * K), dtype) * 0.05
+    wm, wm_t = merged.build_merged_operands(wd, w1, w2)
+
+    def loss(w1_, w2_, x_):
+        return jnp.sum(merged.merged_apply(x_, wm, wm_t, w1_, w2_) ** 2)
+
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(w1, w2, x)
+
+    real_fused = monarch_pallas.monarch_dw_fused
+    monkeypatch.setattr(
+        monarch_pallas, "monarch_dw_fused",
+        lambda a, b, c, d: real_fused(a, b, c, d, interpret=True))
+    monkeypatch.setenv("SMFT_PALLAS_DW", "on")
+    rg._reset_for_tests()
+    try:
+        g_fused = jax.grad(loss, argnums=(0, 1, 2))(w1, w2, x)
+    finally:
+        rg._reset_for_tests()
+
+    for a, b in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
