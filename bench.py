@@ -373,11 +373,15 @@ def main():
     from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
 
     BS, GA, T = 4, 8, 512
+    # remat_policy="dots": measured-best on this chip (scripts/
+    # exp_remat_policy.py: 380.8 ms/step vs 425.7 full-recompute vs 422.7
+    # no-remat) -- matmul outputs stay resident, only elementwise work
+    # recomputes; memory-tight single-chip 7B configs keep "nothing"
     cfg = LlamaConfig(hidden_size=2048, num_hidden_layers=8,
                       num_attention_heads=16, num_key_value_heads=16,
                       intermediate_size=5504, vocab_size=32000,
                       param_dtype="bfloat16", dtype="bfloat16", remat=True,
-                      max_position_embeddings=T)
+                      remat_policy="dots", max_position_embeddings=T)
     rng = onp.random.default_rng(0)
     ids = rng.integers(2, cfg.vocab_size, size=(BS * GA * 2, T)).astype(onp.int32)
     data = {"input_ids": ids, "attention_mask": onp.ones_like(ids),

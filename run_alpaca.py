@@ -83,6 +83,12 @@ def parse_args():
     p.add_argument("--resume", default=False, type=eval)
     p.add_argument("--gradient_checkpointing", default=True, type=eval,
                    help="remat decoder layers (reference qlora default)")
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots"],
+                   help="what remat saves: 'nothing' = full recompute "
+                        "(minimum memory, the single-chip 7B choice); "
+                        "'dots' = keep matmul outputs, recompute only "
+                        "elementwise work (faster when memory allows)")
     p.add_argument("--temperature", default=None, type=float)
     p.add_argument("--top_p", default=None, type=float)
     p.add_argument("--top_k", default=None, type=int)
@@ -114,6 +120,7 @@ def build_model(args, peft_config):
         from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_llama
         model = from_pretrained_llama(args.model, dtype="bfloat16",
                                       remat=args.gradient_checkpointing,
+                                      remat_policy=args.remat_policy,
                                       rngs=nnx.Rngs(args.seed))
     else:
         if not args.smoke:

@@ -84,6 +84,13 @@ def parse_args():
     p.add_argument("--do_tune", default=False, type=eval)
     p.add_argument("--parallel_trials", default=1, type=int)
     p.add_argument("--n_trials", default=6, type=int)
+    p.add_argument("--gradient_checkpointing", default=True, type=eval,
+                   help="remat decoder layers (the reference's 7B default)")
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots"],
+                   help="what remat saves: 'nothing' = full recompute "
+                        "(minimum memory); 'dots' = keep matmul outputs "
+                        "(faster when memory allows)")
     p.add_argument("--smoke", default=False, type=eval)
     p.add_argument("--output_dir", default="results/reasoning")
     p.add_argument("--logging_steps", default=10, type=int)
@@ -107,6 +114,8 @@ def build_model(args, peft_config):
     if not args.smoke and os.path.isdir(args.model):
         from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_llama
         model = from_pretrained_llama(args.model, dtype="bfloat16",
+                                      remat=args.gradient_checkpointing,
+                                      remat_policy=args.remat_policy,
                                       rngs=nnx.Rngs(args.seed))
     else:
         if not args.smoke:

@@ -85,6 +85,17 @@ class LlamaConfig:
     # checkpointing; the reference enables HF gradient_checkpointing for the
     # 7B flows -- qlora_monarch.py:144-146)
     remat: bool = False
+    # what the per-layer remat SAVES instead of recomputing:
+    #   "nothing"  -- full recompute, O(1)-layer activation memory (the HF
+    #                 gradient_checkpointing equivalent; the 7B-on-one-chip
+    #                 configs need this)
+    #   "dots"     -- jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    #                 matmul outputs are saved, only cheap elementwise /
+    #                 norm / attention-softmax work is recomputed.  Costs
+    #                 ~O(layers) saved dot outputs but removes most of the
+    #                 ~2N recompute FLOPs -- the right default whenever the
+    #                 model is not memory-bound on one chip.
+    remat_policy: str = "nothing"
 
     @property
     def kv_heads(self) -> int:

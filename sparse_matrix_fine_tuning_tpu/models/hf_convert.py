@@ -135,9 +135,13 @@ def from_pretrained_roberta(path: str, num_labels: int = 2, dtype=None, *, rngs=
 
 
 def from_pretrained_llama(path: str, dtype="bfloat16", *, rngs=None,
-                          remat: bool = False, param_dtype=None):
+                          remat: bool = False, param_dtype=None,
+                          remat_policy: str = "nothing"):
     """remat: rematerialise decoder layers in the backward (the reference
-    qlora flow defaults gradient_checkpointing=True, qlora_monarch.py:144)."""
+    qlora flow defaults gradient_checkpointing=True, qlora_monarch.py:144).
+    remat_policy: "nothing" (full recompute, minimum memory -- the
+    single-chip 7B choice) or "dots" (keep matmul outputs, recompute only
+    elementwise work -- faster when memory allows; models/config.py)."""
     import json
     from flax import nnx
     from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
@@ -153,8 +157,8 @@ def from_pretrained_llama(path: str, dtype="bfloat16", *, rngs=None,
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         rope_theta=hf.get("rope_theta", 10000.0),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
-        remat=remat, param_dtype=param_dtype or dtype,
-        dtype=dtype)
+        remat=remat, remat_policy=remat_policy,
+        param_dtype=param_dtype or dtype, dtype=dtype)
     model = LlamaForCausalLM(cfg, rngs=rngs or nnx.Rngs(0))
     load_llama(model, load_state_dict(path))
     return model

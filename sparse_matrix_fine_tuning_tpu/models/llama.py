@@ -246,11 +246,22 @@ class LlamaModel(nnx.Module):
             new_caches = None
             if self.config.remat:
                 # recompute each decoder layer in the backward: activation
-                # memory drops from O(layers) to O(1) layers
+                # memory drops from O(layers) to O(1) layers.  remat_policy
+                # "dots" keeps matmul outputs resident (recompute only the
+                # cheap elementwise work) -- see models/config.py
+                policy = None
+                if self.config.remat_policy == "dots":
+                    policy = (jax.checkpoint_policies
+                              .dots_with_no_batch_dims_saveable)
+                elif self.config.remat_policy != "nothing":
+                    raise ValueError(
+                        f"unknown remat_policy {self.config.remat_policy!r}"
+                        " (nothing | dots)")
+
                 def make_run(hooks_i):
                     def run_layer(lyr, x, bias, positions):
                         return lyr(x, bias, positions, hooks=hooks_i)[0]
-                    return nnx.remat(run_layer)
+                    return nnx.remat(run_layer, policy=policy)
                 plain_run = make_run(None)
                 for i, lyr in enumerate(self.layers):
                     run = plain_run if i not in inner_hooks \

@@ -57,6 +57,29 @@ def test_llama_forward_and_loss():
     assert float(loss) > 0
 
 
+def test_llama_remat_policies_grad_equivalence():
+    """remat (both policies) changes memory scheduling only: loss and
+    embedding gradients match the non-remat forward/backward exactly."""
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0, 256)
+
+    def loss_and_grad(remat, policy="nothing"):
+        cfg = LlamaConfig.tiny(remat=remat, remat_policy=policy)
+        model = fresh_model(LlamaForCausalLM, cfg)
+
+        def f(m):
+            return m.loss(m(ids), ids)
+
+        loss, grads = nnx.value_and_grad(f)(model)
+        g = grads["model"]["embed_tokens"]["embedding"].value
+        return float(loss), np.asarray(g)
+
+    base_loss, base_g = loss_and_grad(False)
+    for policy in ("nothing", "dots"):
+        loss, g = loss_and_grad(True, policy)
+        np.testing.assert_allclose(loss, base_loss, rtol=1e-6)
+        np.testing.assert_allclose(g, base_g, rtol=1e-5, atol=1e-6)
+
+
 def test_llama_causality():
     cfg = LlamaConfig.tiny()
     model = fresh_model(LlamaForCausalLM, cfg)
