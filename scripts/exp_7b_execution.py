@@ -57,10 +57,12 @@ def run_one(layers: int, hidden: int, inter: int,
     from sparse_matrix_fine_tuning_tpu.quant import QuantScales, quantize_frozen_base
 
     heads = max(hidden // 128, 1)
+    remat_policy = os.environ.get("REMAT_POLICY", "nothing")
     cfg = LlamaConfig(hidden_size=hidden, num_hidden_layers=layers,
                       num_attention_heads=heads, num_key_value_heads=heads,
                       intermediate_size=inter, vocab_size=32000,
                       param_dtype="bfloat16", dtype="bfloat16", remat=True,
+                      remat_policy=remat_policy,
                       max_position_embeddings=T)
     t0 = time.time()
     total = None  # set after a successful build; None in init-failure records
@@ -125,7 +127,7 @@ def run_one(layers: int, hidden: int, inter: int,
         ms = statistics.median(times[1:]) * 1e3
         print(json.dumps({
             "layers": layers, "hidden": hidden, "inter": inter,
-            "quant_host": quant_host,
+            "quant_host": quant_host, "remat_policy": remat_policy,
             "params_b": round(total / 1e9, 2), "executed": True,
             "ms_per_step": round(ms, 1),
             "tokens_per_s": round(BT * T / (ms / 1e3), 1),
