@@ -154,3 +154,36 @@ def test_tp_training_matches_replicated(tmp_path):
     assert np.isfinite(m_tp["eval_loss"]) and m_tp["eval_loss"] < e_tp
     np.testing.assert_allclose(m_tp["eval_loss"], m_plain["eval_loss"],
                                rtol=5e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_quantized_training_matches_replicated(tmp_path):
+    """The production multi-chip 7B combination: int4 frozen base +
+    state_split + ga, TRAINED under a (dp,fsdp,tp) mesh -- loss trajectory
+    must match the unsharded run (adapters learn, packed base inert)."""
+    from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
+
+    def make(mesh, tag):
+        cfg, model = _flagship()
+        assert quantize_frozen_base(model, bits=4) > 0
+        data = _data(cfg)
+        args = TrainingArgs(output_dir=str(tmp_path / tag),
+                            learning_rate=1e-3, max_steps=2,
+                            per_device_train_batch_size=4,
+                            gradient_accumulation_steps=2,
+                            state_split=True,
+                            logging_steps=0, log_param_steps=0)
+        return Trainer(model, args, train_data=data, eval_data=data,
+                       loss_fn=_lm_loss, mesh=mesh)
+
+    tr_tp = make(make_mesh(dp=2, fsdp=2, tp=2), "tpq_train")
+    tr_plain = make(None, "plainq_train")
+    e_tp = tr_tp.evaluate()["eval_loss"]
+    np.testing.assert_allclose(e_tp, tr_plain.evaluate()["eval_loss"],
+                               rtol=2e-4)
+    m_tp = tr_tp.train()
+    m_plain = tr_plain.train()
+    assert np.isfinite(m_tp["eval_loss"]) and m_tp["eval_loss"] < e_tp
+    np.testing.assert_allclose(m_tp["eval_loss"], m_plain["eval_loss"],
+                               rtol=5e-4)
