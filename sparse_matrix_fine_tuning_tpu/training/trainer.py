@@ -463,6 +463,9 @@ class Trainer:
         step_fn = self._train_step_accum if G > 1 else self._train_step
         t0 = time.time()
         running = []
+        # throughput window for periodic logs (first window includes the
+        # step compile, so its tokens_per_s reads low -- by design)
+        self._tokens_window, self._tokens_t0 = 0, t0
         done = False
         self.model.train()
         # mid-epoch resume fidelity: self.step (restored from the checkpoint)
@@ -481,12 +484,19 @@ class Trainer:
                 loss = step_fn(self.model, self.optimizer, batch)
                 if a.logging_steps:  # else the list would grow unbounded
                     running.append(loss)
+                    # static shapes: (G, bs, T) or (bs, T) -- no device sync
+                    self._tokens_window += int(
+                        math.prod(batch["input_ids"].shape))
                 self.step += 1
                 if a.logging_steps and self.step % a.logging_steps == 0:
                     mean_loss = float(jnp.mean(jnp.stack(running)))
                     running = []
+                    now = time.time()
+                    tps = self._tokens_window / max(now - self._tokens_t0, 1e-9)
+                    self._tokens_window, self._tokens_t0 = 0, now
                     rec = {"step": self.step, "loss": round(mean_loss, 5),
-                           "elapsed_s": round(time.time() - t0, 1)}
+                           "tokens_per_s": round(tps),
+                           "elapsed_s": round(now - t0, 1)}
                     self.log_history.append(rec)
                     print(json.dumps(rec))
                     if self.logger is not None:
