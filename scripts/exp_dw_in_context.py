@@ -43,6 +43,33 @@ from sparse_matrix_fine_tuning_tpu.ops.monarch import monarch_dw
 from sparse_matrix_fine_tuning_tpu.utils.benchlib import slope_time
 
 
+def block_nt_dw(x2, d2, w1, w2):
+    """Block-factor dw with NO explicit operand transposes: batch/contract
+    dims passed to dot_general in place, so any relayout is XLA's internal
+    choice rather than a materialized transpose of the 21.8 MB operands."""
+    pet = jnp.float32
+    k, q, p = w1.shape
+    l, s, r = w2.shape
+    xb = x2.reshape(-1, k, p)          # pure reshape, no copy
+    d3 = d2.reshape(-1, s, l)          # pure reshape, no copy
+    # out1[b, l, r]: batched over k in place -> (k, b, q), small transposes after
+    o1 = jax.lax.dot_general(xb, w1, (((2,), (2,)), ((1,), (0,))),
+                             preferred_element_type=pet)  # (k, b, q)
+    out1 = o1.transpose(1, 0, 2).reshape(-1, r, l).transpose(0, 2, 1)
+    out1 = out1.astype(x2.dtype)       # (b, l, r) -- small (B x kq)
+    # dw2[l, s, r] = sum_b d3[b, s, l] * out1[b, l, r]: batch l IN PLACE
+    dw2 = jax.lax.dot_general(d3, out1, (((0,), (0,)), ((2,), (1,))),
+                              preferred_element_type=pet)  # (l, s, r)
+    # dout1[l, b, r] = sum_s d3[b, s, l] * w2[l, s, r]: batch l IN PLACE
+    dout1 = jax.lax.dot_general(d3, w2, (((1,), (1,)), ((2,), (0,))),
+                                preferred_element_type=pet)  # (l, b, r)
+    dout1_kq = dout1.astype(x2.dtype).transpose(1, 2, 0).reshape(-1, k, q)
+    # dw1[k, q, p] = sum_b dout1_kq[b, k, q] * xb[b, k, p]: batch k in place
+    dw1 = jax.lax.dot_general(dout1_kq, xb, (((0,), (0,)), ((1,), (1,))),
+                              preferred_element_type=pet)  # (k, q, p)
+    return dw1, dw2
+
+
 def expanded_dw(x2, d2, w1bd, w2hat, w1_shape, w2_shape):
     pet = jnp.float32
     out1e = jax.lax.dot_general(x2, w1bd, (((1,), (0,)), ((), ())),
@@ -80,6 +107,8 @@ def main():
                                  ).astype(x.dtype)
         if dw_mode == "block":
             dw1, dw2, _ = monarch_dw(x, dout, w1, w2)
+        elif dw_mode == "block_nt":
+            dw1, dw2 = block_nt_dw(x, dout, w1, w2)
         elif dw_mode == "expanded":
             dw1, dw2 = expanded_dw(x, dout, w1bd, w2hat, w1_shape, w2_shape)
         elif dw_mode == "pallas":
@@ -124,14 +153,17 @@ def main():
     e1, e2 = expanded_dw(x0, d0, w1bd, w2hat, w1_shape, w2_shape)
     p1raw = _more_dw_call(x0, d0, w1bd, w2hat, False)
     p1, p2 = _extract_dw(p1raw[0], p1raw[1], w1_shape, w2_shape)
-    for name, (a1, a2) in {"expanded": (e1, e2), "pallas": (p1, p2)}.items():
+    nt1, nt2 = block_nt_dw(x0, d0, w1, w2)
+    for name, (a1, a2) in {"expanded": (e1, e2), "pallas": (p1, p2),
+                           "block_nt": (nt1, nt2)}.items():
         err1 = float(jnp.max(jnp.abs(a1.astype(jnp.float32) - ref1.astype(jnp.float32))))
         err2 = float(jnp.max(jnp.abs(a2.astype(jnp.float32) - ref2.astype(jnp.float32))))
         scale = float(jnp.max(jnp.abs(ref1))) + 1e-9
         print(f"{name}: max|dw1 err|={err1:.3e} max|dw2 err|={err2:.3e} "
               f"(scale {scale:.2e})", flush=True)
 
-    results = {k: [] for k in ("none", "block", "expanded", "pallas")}
+    results = {k: [] for k in ("none", "block", "block_nt", "expanded",
+                               "pallas")}
     loops = {k: make_loop(k) for k in results}
     for _ in range(3):
         for k, loop in loops.items():
