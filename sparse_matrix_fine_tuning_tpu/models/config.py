@@ -59,6 +59,20 @@ class RobertaConfig:
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
+    """Decoder-only causal-LM family config.
+
+    The defaults are Llama-2; the extra knobs cover the sibling families the
+    intervention/PEFT stack also targets (pyvene ships per-arch component
+    maps for mistral/gemma/qwen2 -- reference
+    pyreft/pyvene/pyvene/models/*/modelings_intervenable_*.py; here one
+    parameterized stack serves them all):
+      Mistral: ``sliding_window``
+      Gemma:   ``head_dim`` (decoupled from hidden/heads), ``mlp_activation=
+               "gelu_tanh"``, ``rmsnorm_unit_offset`` ((1+w) scale),
+               ``scale_embeddings`` (sqrt(hidden) on the embedding output),
+               ``tie_word_embeddings``
+      Qwen2:   ``attention_qkv_bias``
+    """
     vocab_size: int = 32000
     hidden_size: int = 4096
     num_hidden_layers: int = 32
@@ -72,6 +86,22 @@ class LlamaConfig:
     bos_token_id: int = 1
     eos_token_id: int = 2
     tie_word_embeddings: bool = False
+    # per-head width; None -> hidden_size // num_attention_heads.  Gemma
+    # decouples it (e.g. 2B: 2048 hidden, 8 heads, head_dim 256).
+    head_dim: Optional[int] = None
+    # bias on q/k/v projections (Qwen2); o_proj stays bias-free in all
+    # supported families
+    attention_qkv_bias: bool = False
+    # gated-MLP nonlinearity: "silu" (Llama/Mistral/Qwen2 SwiGLU) or
+    # "gelu_tanh" (Gemma GeGLU) -- both fused custom_vjp ops
+    mlp_activation: str = "silu"
+    # Mistral-style local attention: token i attends to [i-window+1, i].
+    # None disables.  HF semantics: the window COUNTS the query token.
+    sliding_window: Optional[int] = None
+    # Gemma: RMSNorm scale is stored as an offset, out = norm(x) * (1 + w)
+    rmsnorm_unit_offset: bool = False
+    # Gemma: multiply embedding output by sqrt(hidden_size)
+    scale_embeddings: bool = False
     dtype: Optional[str] = None  # compute dtype, e.g. "bfloat16"; params stay f32
     # "einsum": explicit softmax(QK^T)V; "dpa": jax.nn.dot_product_attention
     # (XLA fused); "splash": Pallas splash-attention kernel (TPU, causal,
@@ -101,6 +131,10 @@ class LlamaConfig:
     def kv_heads(self) -> int:
         return self.num_key_value_heads or self.num_attention_heads
 
+    @property
+    def head_width(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
     @classmethod
     def tiny(cls, **kw):
         d = dict(vocab_size=256, hidden_size=64, num_hidden_layers=2,
@@ -112,6 +146,35 @@ class LlamaConfig:
     @classmethod
     def llama2_7b(cls, **kw):
         return cls(**kw)
+
+    @classmethod
+    def mistral_7b(cls, **kw):
+        d = dict(num_key_value_heads=8, intermediate_size=14336,
+                 max_position_embeddings=32768, sliding_window=4096,
+                 rms_norm_eps=1e-5, rope_theta=10000.0)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def gemma_2b(cls, **kw):
+        d = dict(vocab_size=256000, hidden_size=2048, num_hidden_layers=18,
+                 num_attention_heads=8, num_key_value_heads=1, head_dim=256,
+                 intermediate_size=16384, max_position_embeddings=8192,
+                 rms_norm_eps=1e-6, mlp_activation="gelu_tanh",
+                 rmsnorm_unit_offset=True, scale_embeddings=True,
+                 tie_word_embeddings=True)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def qwen2_7b(cls, **kw):
+        d = dict(vocab_size=152064, hidden_size=3584, num_hidden_layers=28,
+                 num_attention_heads=28, num_key_value_heads=4,
+                 intermediate_size=18944, max_position_embeddings=32768,
+                 rms_norm_eps=1e-6, rope_theta=1000000.0,
+                 attention_qkv_bias=True)
+        d.update(kw)
+        return cls(**d)
 
 
 RobertaConfig.compute_dtype = property(lambda self: _resolve_dtype(self.dtype))

@@ -91,8 +91,56 @@ def load_roberta(model, state_dict: Dict) -> None:
         _set_linear(model.classifier.out_proj, state_dict, "classifier.out_proj")
 
 
+def causal_lm_config_from_hf(hf: Dict, **overrides):
+    """Map an HF ``config.json`` dict for any supported decoder-only family
+    (llama / mistral / gemma / qwen2) onto a :class:`LlamaConfig`.
+
+    The reference's causal flows are Llama-2-only (qlora_monarch.py:231,
+    loreft/train.py:116); its vendored pyvene additionally ships per-arch
+    component maps for these siblings (pyreft/pyvene/pyvene/models/
+    {mistral,gemma,qwen2}/modelings_intervenable_*.py) -- here one
+    parameterized stack covers them (models/config.py)."""
+    from sparse_matrix_fine_tuning_tpu.models import LlamaConfig
+    mt = hf.get("model_type", "llama")
+    kw = dict(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads"),
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        head_dim=hf.get("head_dim"),
+        pad_token_id=hf.get("pad_token_id") or 0,
+        bos_token_id=hf.get("bos_token_id", 1),
+        eos_token_id=hf.get("eos_token_id", 2),
+    )
+    if mt == "mistral":
+        kw["sliding_window"] = hf.get("sliding_window")
+    elif mt == "qwen2":
+        kw["attention_qkv_bias"] = True
+        if hf.get("use_sliding_window"):
+            kw["sliding_window"] = hf.get("sliding_window")
+    elif mt == "gemma":
+        # HF GemmaMLP defaults to the tanh-approx gelu regardless of the
+        # checkpoint's legacy "gelu" string (transformers#29402)
+        kw["mlp_activation"] = "gelu_tanh"
+        kw["rmsnorm_unit_offset"] = True
+        kw["scale_embeddings"] = True
+        kw["tie_word_embeddings"] = hf.get("tie_word_embeddings", True)
+    elif mt != "llama":
+        raise ValueError(f"unsupported causal-LM model_type {mt!r} "
+                         "(llama | mistral | gemma | qwen2)")
+    kw.update(overrides)
+    return LlamaConfig(**kw)
+
+
 def load_llama(model, state_dict: Dict) -> None:
-    """Populate a LlamaForCausalLM from an HF ``llama`` state dict."""
+    """Populate a LlamaForCausalLM from an HF ``llama``-family state dict
+    (llama / mistral / gemma / qwen2 share tensor names; qkv biases are set
+    when present, tied checkpoints simply lack ``lm_head.weight``)."""
     sd = state_dict
     _set_embed(model.model.embed_tokens, sd, "model.embed_tokens.weight")
     for i, lyr in enumerate(model.model.layers):
@@ -144,20 +192,11 @@ def from_pretrained_llama(path: str, dtype="bfloat16", *, rngs=None,
     elementwise work -- faster when memory allows; models/config.py)."""
     import json
     from flax import nnx
-    from sparse_matrix_fine_tuning_tpu.models import LlamaConfig, LlamaForCausalLM
+    from sparse_matrix_fine_tuning_tpu.models import LlamaForCausalLM
     with open(os.path.join(path, "config.json")) as f:
         hf = json.load(f)
-    cfg = LlamaConfig(
-        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
-        num_hidden_layers=hf["num_hidden_layers"],
-        num_attention_heads=hf["num_attention_heads"],
-        num_key_value_heads=hf.get("num_key_value_heads"),
-        intermediate_size=hf["intermediate_size"],
-        max_position_embeddings=hf.get("max_position_embeddings", 4096),
-        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
-        rope_theta=hf.get("rope_theta", 10000.0),
-        tie_word_embeddings=hf.get("tie_word_embeddings", False),
-        remat=remat, remat_policy=remat_policy,
+    cfg = causal_lm_config_from_hf(
+        hf, remat=remat, remat_policy=remat_policy,
         param_dtype=param_dtype or dtype, dtype=dtype)
     model = LlamaForCausalLM(cfg, rngs=rngs or nnx.Rngs(0))
     load_llama(model, load_state_dict(path))

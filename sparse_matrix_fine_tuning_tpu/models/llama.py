@@ -19,10 +19,39 @@ import jax.numpy as jnp
 from flax import nnx
 
 from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig
-from sparse_matrix_fine_tuning_tpu.ops.activations import swiglu
+from sparse_matrix_fine_tuning_tpu.ops.activations import geglu, swiglu
 from sparse_matrix_fine_tuning_tpu.parallel.annotate import shard_tokens
 
 Array = jax.Array
+
+
+class UnitOffsetRMSNorm(nnx.Module):
+    """Gemma-style RMSNorm: ``out = normalize(x) * (1 + w)``, computed in
+    float32 end-to-end (HF GemmaRMSNorm semantics); the stored ``scale`` is
+    the checkpoint's offset weight, zero-initialized."""
+
+    def __init__(self, dim: int, *, epsilon: float, dtype=None,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs | None = None):
+        self.epsilon = epsilon
+        self.dtype = dtype
+        self.scale = nnx.Param(jnp.zeros((dim,), param_dtype))
+
+    def __call__(self, x: Array) -> Array:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(var + self.epsilon)
+        out = out * (1.0 + self.scale[...].astype(jnp.float32))
+        return out.astype(self.dtype or x.dtype)
+
+
+def _make_norm(cfg: LlamaConfig, *, rngs: nnx.Rngs):
+    if cfg.rmsnorm_unit_offset:
+        return UnitOffsetRMSNorm(cfg.hidden_size, epsilon=cfg.rms_norm_eps,
+                                 dtype=cfg.compute_dtype,
+                                 param_dtype=cfg.params_dtype, rngs=rngs)
+    return nnx.RMSNorm(cfg.hidden_size, epsilon=cfg.rms_norm_eps,
+                       dtype=cfg.compute_dtype,
+                       param_dtype=cfg.params_dtype, rngs=rngs)
 
 
 def _splash_attention(q: Array, k: Array, v: Array) -> Array:
@@ -77,10 +106,11 @@ class LlamaAttention(nnx.Module):
         self.cfg = cfg
         self.num_heads = cfg.num_attention_heads
         self.num_kv = cfg.kv_heads
-        self.head_dim = cfg.hidden_size // cfg.num_attention_heads
-        self.q_proj = _linear(cfg.hidden_size, self.num_heads * self.head_dim, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
-        self.k_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
-        self.v_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
+        self.head_dim = cfg.head_width
+        qkv_bias = cfg.attention_qkv_bias
+        self.q_proj = _linear(cfg.hidden_size, self.num_heads * self.head_dim, rngs, use_bias=qkv_bias, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
+        self.k_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, use_bias=qkv_bias, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
+        self.v_proj = _linear(cfg.hidden_size, self.num_kv * self.head_dim, rngs, use_bias=qkv_bias, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
         self.o_proj = _linear(self.num_heads * self.head_dim, cfg.hidden_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
 
     def __call__(self, x, attn_bias, positions, cache=None):
@@ -124,24 +154,25 @@ class LlamaAttention(nnx.Module):
 
 class LlamaMLP(nnx.Module):
     def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        if cfg.mlp_activation not in ("silu", "gelu_tanh"):
+            raise ValueError(f"unknown mlp_activation {cfg.mlp_activation!r}"
+                             " (silu | gelu_tanh)")
+        self.mlp_activation = cfg.mlp_activation
         self.gate_proj = _linear(cfg.hidden_size, cfg.intermediate_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
         self.up_proj = _linear(cfg.hidden_size, cfg.intermediate_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
         self.down_proj = _linear(cfg.intermediate_size, cfg.hidden_size, rngs, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
 
     def __call__(self, x):
-        return self.down_proj(swiglu(self.gate_proj(x), self.up_proj(x)))
+        act = swiglu if self.mlp_activation == "silu" else geglu
+        return self.down_proj(act(self.gate_proj(x), self.up_proj(x)))
 
 
 class LlamaDecoderLayer(nnx.Module):
     def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
         self.self_attn = LlamaAttention(cfg, rngs=rngs)
         self.mlp = LlamaMLP(cfg, rngs=rngs)
-        self.input_layernorm = nnx.RMSNorm(cfg.hidden_size, epsilon=cfg.rms_norm_eps,
-                                          dtype=cfg.compute_dtype,
-                                          param_dtype=cfg.params_dtype, rngs=rngs)
-        self.post_attention_layernorm = nnx.RMSNorm(
-            cfg.hidden_size, epsilon=cfg.rms_norm_eps, dtype=cfg.compute_dtype,
-            param_dtype=cfg.params_dtype, rngs=rngs)
+        self.input_layernorm = _make_norm(cfg, rngs=rngs)
+        self.post_attention_layernorm = _make_norm(cfg, rngs=rngs)
 
     def __call__(self, x, attn_bias, positions, cache=None, hooks=None):
         """hooks: optional {component: fn} for this layer, component in
@@ -173,9 +204,7 @@ class LlamaModel(nnx.Module):
             embedding_init=nnx.initializers.normal(stddev=0.02), rngs=rngs)
         self.layers = nnx.List([LlamaDecoderLayer(cfg, rngs=rngs)
                                 for _ in range(cfg.num_hidden_layers)])
-        self.norm = nnx.RMSNorm(cfg.hidden_size, epsilon=cfg.rms_norm_eps,
-                                          dtype=cfg.compute_dtype,
-                                          param_dtype=cfg.params_dtype, rngs=rngs)
+        self.norm = _make_norm(cfg, rngs=rngs)
 
     @staticmethod
     def _split_hooks(layer_hooks):
@@ -213,7 +242,12 @@ class LlamaModel(nnx.Module):
         b, t = input_ids.shape
         # sequence-parallel boundary annotations (parallel/annotate.py):
         # no-ops unless the Trainer installed a tp>1 mesh for this trace
-        x = shard_tokens(self.embed_tokens(input_ids))
+        x = self.embed_tokens(input_ids)
+        if self.config.scale_embeddings:
+            # Gemma: normalizer is materialized IN the activation dtype before
+            # the multiply (HF GemmaModel.forward), bf16-relevant rounding
+            x = x * jnp.asarray(self.config.hidden_size ** 0.5, x.dtype)
+        x = shard_tokens(x)
         if positions is None:
             if segment_ids is not None:
                 # position = offset within the token's own segment
@@ -226,8 +260,20 @@ class LlamaModel(nnx.Module):
             else:
                 positions = jnp.broadcast_to(jnp.arange(t), (b, t))
         if caches is None:
-            # training/prefill: causal mask (+ padding mask)
+            # training/prefill: causal mask (+ sliding window + padding mask)
             causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+            if self.config.sliding_window is not None:
+                if self.config.attention_impl == "splash":
+                    # splash builds its own pure-causal mask and ignores the
+                    # bias -- it would silently attend beyond the window
+                    raise ValueError(
+                        "sliding_window requires a bias-carrying "
+                        "attention_impl (einsum or dpa)")
+                # Mistral local attention: keep keys with q - k < window
+                # (HF semantics -- the window counts the query token)
+                offs = jnp.arange(t)
+                causal = causal & (
+                    offs[:, None] - offs[None, :] < self.config.sliding_window)
             bias = jnp.where(causal[None, None], 0.0, -1e9).astype(x.dtype)
             if attention_mask is not None:
                 pad = (1.0 - attention_mask[:, None, None, :].astype(x.dtype)) * jnp.asarray(
@@ -283,6 +329,9 @@ class LlamaModel(nnx.Module):
             slot_ids = jax.lax.broadcasted_iota(jnp.int32, (t, cache_len), 1)
             row_pos = cache_index + jax.lax.broadcasted_iota(jnp.int32, (t, cache_len), 0)
             causal = slot_ids <= row_pos  # (t, cache_len)
+            if self.config.sliding_window is not None:
+                causal = causal & (
+                    row_pos - slot_ids < self.config.sliding_window)
             ok = causal[None, None] & (attention_mask[:, None, None, :] > 0)
             bias = jnp.where(ok, 0.0, -1e9).astype(x.dtype)
             new_caches = []
@@ -340,7 +389,7 @@ class LlamaForCausalLM(nnx.Module):
 
 def init_caches(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     """Allocate empty KV caches: list of (k, v) of (b, max_len, kv_heads, hd)."""
-    hd = cfg.hidden_size // cfg.num_attention_heads
+    hd = cfg.head_width
     return [
         (jnp.zeros((batch, max_len, cfg.kv_heads, hd), dtype),
          jnp.zeros((batch, max_len, cfg.kv_heads, hd), dtype))

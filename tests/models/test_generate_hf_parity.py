@@ -134,6 +134,35 @@ def test_beam4_decode_with_eos_matches_hf(pair, early_stopping):
         got[:, ids.shape[1]:ids.shape[1] + n], want[:, ids.shape[1]:])
 
 
+def test_mistral_greedy_decode_matches_hf():
+    """Sliding-window decode: prompt+generation (19 tokens) exceeds the
+    5-token window, so the local mask shapes every step's attention."""
+    from sparse_matrix_fine_tuning_tpu.models.hf_convert import (
+        causal_lm_config_from_hf)
+    hf_cfg = transformers.MistralConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=128, sliding_window=5,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf_model = transformers.MistralForCausalLM(hf_cfg).eval()
+    from flax import nnx
+    model = LlamaForCausalLM(causal_lm_config_from_hf(hf_cfg.to_dict()),
+                             rngs=nnx.Rngs(0))
+    load_llama(model, dict(hf_model.state_dict()))
+    model.eval()
+    ids, mask = _prompts()
+    with torch.no_grad():
+        want = hf_model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_new_tokens=NEW, do_sample=False, num_beams=1,
+            eos_token_id=None, pad_token_id=0).numpy()
+    got = np.asarray(generate(
+        model, jnp.asarray(ids), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=NEW, eos_token_id=None)))
+    np.testing.assert_array_equal(got[:, -NEW:], want[:, -NEW:])
+
+
 @pytest.mark.parametrize("length_penalty", [0.0, 0.6, 2.0])
 def test_beam4_length_penalty_matches_hf(pair, length_penalty):
     """Length-normalised hypothesis selection: HF divides by GENERATED

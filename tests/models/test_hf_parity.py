@@ -69,6 +69,56 @@ def test_llama_matches_hf():
     np.testing.assert_allclose(ours, hf_out, rtol=3e-3, atol=3e-3)
 
 
+def _family_parity(hf_model, hf_cfg, seq_len=12, rtol=3e-3, atol=3e-3):
+    """Convert an HF decoder-only model via the model_type-aware mapper and
+    compare fp32 logits."""
+    from sparse_matrix_fine_tuning_tpu.models.hf_convert import (
+        causal_lm_config_from_hf)
+    cfg = causal_lm_config_from_hf(hf_cfg.to_dict())
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    load_llama(model, {k: v for k, v in hf_model.state_dict().items()})
+    model.eval()
+    ids = np.random.default_rng(2).integers(2, hf_cfg.vocab_size,
+                                            size=(2, seq_len))
+    with torch.no_grad():
+        hf_out = hf_model(input_ids=torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(model(jnp.asarray(ids)))
+    np.testing.assert_allclose(ours, hf_out, rtol=rtol, atol=atol)
+
+
+def test_mistral_matches_hf():
+    # sliding_window=5 < seq_len=12 so the local mask actually bites
+    hf_cfg = transformers.MistralConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=128, sliding_window=5,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    _family_parity(transformers.MistralForCausalLM(hf_cfg).eval(), hf_cfg)
+
+
+def test_gemma_matches_hf():
+    # head_dim (16) decoupled from hidden/heads (32/4=8), GeGLU, (1+w)
+    # RMSNorm, sqrt(hidden)-scaled embeddings, tied lm_head
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=1, head_dim=16,
+        intermediate_size=64, max_position_embeddings=128,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    _family_parity(transformers.GemmaForCausalLM(hf_cfg).eval(), hf_cfg)
+
+
+def test_qwen2_matches_hf():
+    # qkv biases present, o_proj bias-free
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=128, attn_implementation="eager")
+    torch.manual_seed(0)
+    _family_parity(transformers.Qwen2ForCausalLM(hf_cfg).eval(), hf_cfg)
+
+
 def test_deberta_matches_hf():
     hf_cfg = transformers.DebertaV2Config(
         vocab_size=128, hidden_size=32, num_hidden_layers=2,
