@@ -452,3 +452,25 @@ def test_subspaces_unsupported_intervention_raises():
     locs = jnp.zeros((1, 1, 2), jnp.int32)
     with pytest.raises(ValueError, match="does not support subspaces"):
         rm(ids, intervention_locations=locs, subspaces=[0, 1])
+
+def test_reft_on_sibling_families():
+    """The in-jit hook engine is component-addressed on the shared decoder
+    stack, so the sibling families (models/config.py) compose with ReFT
+    unchanged -- intervened forward differs from base, shape preserved."""
+    for kw in (dict(sliding_window=4),                       # mistral
+               dict(head_dim=16, num_key_value_heads=1,      # gemma
+                    mlp_activation="gelu_tanh", rmsnorm_unit_offset=True,
+                    scale_embeddings=True, tie_word_embeddings=True),
+               dict(attention_qkv_bias=True)):               # qwen2
+        cfg = LlamaConfig.tiny(**kw)
+        base = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        reft = get_reft_model(base, ReftConfig(representations=[
+            {"layer": 1, "component": "block_output",
+             "intervention": "MoReIntervention", "low_rank_dimension": 8},
+        ]), rngs=nnx.Rngs(1))
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 10), 0,
+                                 cfg.vocab_size)
+        locs = jnp.array([[[0, 1, 8, 9]], [[0, 1, 8, 9]]])
+        logits = reft(ids, intervention_locations=locs)
+        assert logits.shape == (2, 10, cfg.vocab_size)
+        assert bool(jnp.isfinite(logits).all())

@@ -108,3 +108,41 @@ def test_init_lora():
     assert len(adapted) == 4
     after = model(ids)
     assert after.shape == before.shape
+
+def test_family_surgery_and_grads():
+    """Monarch surgery composes with the sibling causal-LM families: the
+    Qwen2-style biased q/k/v keeps its bias through replacement (forward
+    preserved at zero-init), Gemma-style decoupled head_dim adapts the
+    rectangular q_proj, the Mistral window survives the adapted forward,
+    and gradients actually reach the injected factors."""
+    for fam_kw in (
+        dict(attention_qkv_bias=True),                      # qwen2
+        dict(head_dim=16, num_key_value_heads=1,            # gemma
+             mlp_activation="gelu_tanh", rmsnorm_unit_offset=True,
+             scale_embeddings=True, tie_word_embeddings=True),
+        dict(sliding_window=5),                             # mistral
+    ):
+        cfg = LlamaConfig.tiny(**fam_kw)
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0,
+                                 cfg.vocab_size)
+        before = model(ids)
+        init_monarch(model, LLAMA_PEFT, rngs=nnx.Rngs(1))
+        np.testing.assert_allclose(np.asarray(before), np.asarray(model(ids)),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss_fn(m):
+            return m.loss(m(ids), ids)
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        assert jnp.isfinite(loss)
+        gflat = {"/".join(map(str, p)): g
+                 for p, g in nnx.state(grads).flat_state()}
+        blk = [v for k, v in gflat.items() if "blkdiag" in k]
+        assert len(blk) == 2 * 7 * cfg.num_hidden_layers
+        assert all(jnp.isfinite(g[...]).all() for g in blk)
+        # blkdiag2 is zero-init, so its grad (through the nonzero blkdiag1)
+        # is the one that must be nonzero at step 0; blkdiag1's is exactly
+        # zero by the product rule
+        blk2 = [v for k, v in gflat.items() if "blkdiag2" in k]
+        assert any(float(jnp.abs(g[...]).max()) > 0 for g in blk2)
