@@ -447,9 +447,18 @@ def main():
             for line in f:
                 rec = json.loads(line)
                 if rec.get("quant_host") and rec.get("executed"):
+                    # model-FLOPs MFU, same convention as recipe_level:
+                    # 6*P_matmul + 12*L*h*T per token; remat recompute and
+                    # adapter FLOPs excluded, lm_head included
+                    h7, L7, i7, v7, t7 = 4096, 32, 11008, 32000, rec.get(
+                        "seq", 256)
+                    p_matmul = L7 * (4 * h7 * h7 + 3 * h7 * i7) + h7 * v7
+                    fpt = 6 * p_matmul + 12 * L7 * h7 * t7
+                    mfu7 = fpt * rec["tokens_per_s"] / V5E_BF16_PEAK * 100
                     flagship_7b = {
                         "ms_per_step": rec["ms_per_step"],
                         "tokens_per_s": rec["tokens_per_s"],
+                        "mfu_pct": round(mfu7, 1),
                         "config": ("Llama-7B (32L x 4096h/11008i), int4 "
                                    "host-quantized base + Monarch adapters "
                                    "on all 7 projections, state_split, "
