@@ -1,3 +1,4 @@
+from sparse_matrix_fine_tuning_tpu.interventions.causal_model import CausalModel
 from sparse_matrix_fine_tuning_tpu.interventions.pyvene_io import (
     load_pyvene_interventions,
     save_pyvene_interventions,
@@ -16,6 +17,7 @@ from sparse_matrix_fine_tuning_tpu.interventions.reft import (
 )
 
 __all__ = [
+    "CausalModel",
     "ConsreftIntervention",
     "LoreftIntervention",
     "LowRankRotatedSpaceIntervention",

@@ -4,6 +4,7 @@ from sparse_matrix_fine_tuning_tpu.models.roberta import (
     RobertaForSequenceClassification,
     RobertaModel,
 )
+from sparse_matrix_fine_tuning_tpu.models.toy import GRUModel, MLPModel, ToyConfig
 
 __all__ = [
     "LlamaConfig",
@@ -12,4 +13,7 @@ __all__ = [
     "LlamaModel",
     "RobertaForSequenceClassification",
     "RobertaModel",
+    "GRUModel",
+    "MLPModel",
+    "ToyConfig",
 ]
