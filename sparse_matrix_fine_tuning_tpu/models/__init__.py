@@ -1,4 +1,5 @@
 from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig, RobertaConfig
+from sparse_matrix_fine_tuning_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
 from sparse_matrix_fine_tuning_tpu.models.llama import LlamaForCausalLM, LlamaModel
 from sparse_matrix_fine_tuning_tpu.models.roberta import (
     RobertaForSequenceClassification,
@@ -7,6 +8,8 @@ from sparse_matrix_fine_tuning_tpu.models.roberta import (
 from sparse_matrix_fine_tuning_tpu.models.toy import GRUModel, MLPModel, ToyConfig
 
 __all__ = [
+    "GPT2Config",
+    "GPT2LMHeadModel",
     "LlamaConfig",
     "RobertaConfig",
     "LlamaForCausalLM",

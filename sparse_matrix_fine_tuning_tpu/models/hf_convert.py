@@ -256,3 +256,66 @@ def from_pretrained_deberta(path: str, num_labels: int = 2, dtype=None, *, rngs=
     model = DebertaV2ForSequenceClassification(cfg, rngs=rngs or nnx.Rngs(0))
     load_deberta(model, load_state_dict(path))
     return model
+
+
+def _set_conv1d(mod, sd, prefix):
+    """HF GPT-2 Conv1D stores its weight as (in, out) -- already the
+    nnx.Linear kernel layout, so no transpose (unlike _set_linear)."""
+    mod.kernel.set_value(jnp.asarray(_np(sd[prefix + ".weight"])))
+    if prefix + ".bias" in sd and mod.bias is not None:
+        mod.bias.set_value(jnp.asarray(_np(sd[prefix + ".bias"])))
+
+
+def gpt2_config_from_hf(hf: Dict, **overrides):
+    """Map an HF GPT-2 ``config.json`` (n_embd/n_layer/n_head/n_positions
+    naming) onto a :class:`GPT2Config`."""
+    from sparse_matrix_fine_tuning_tpu.models.gpt2 import GPT2Config
+    kw = dict(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf.get("n_embd", hf.get("hidden_size", 768)),
+        num_hidden_layers=hf.get("n_layer", hf.get("num_hidden_layers", 12)),
+        num_attention_heads=hf.get("n_head", hf.get("num_attention_heads", 12)),
+        intermediate_size=hf.get("n_inner"),
+        max_position_embeddings=hf.get("n_positions",
+                                       hf.get("max_position_embeddings", 1024)),
+        layer_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        bos_token_id=hf.get("bos_token_id", 50256),
+        eos_token_id=hf.get("eos_token_id", 50256),
+    )
+    kw["pad_token_id"] = hf.get("pad_token_id") or kw["eos_token_id"]
+    kw.update(overrides)
+    return GPT2Config(**kw)
+
+
+def load_gpt2(model, state_dict: Dict) -> None:
+    """Populate a GPT2LMHeadModel from an HF ``gpt2`` state dict.  Accepts
+    both bare-``transformer.``-prefixed (GPT2LMHeadModel) and unprefixed
+    (GPT2Model) key layouts; ``lm_head`` is tied to wte so it is never
+    read."""
+    sd = state_dict
+    pfx = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
+    tr = model.transformer
+    _set_embed(tr.wte, sd, f"{pfx}wte.weight")
+    _set_embed(tr.wpe, sd, f"{pfx}wpe.weight")
+    for i, blk in enumerate(tr.h):
+        p = f"{pfx}h.{i}"
+        _set_ln(blk.ln_1, sd, f"{p}.ln_1")
+        _set_conv1d(blk.attn.c_attn, sd, f"{p}.attn.c_attn")
+        _set_conv1d(blk.attn.c_proj, sd, f"{p}.attn.c_proj")
+        _set_ln(blk.ln_2, sd, f"{p}.ln_2")
+        _set_conv1d(blk.mlp.c_fc, sd, f"{p}.mlp.c_fc")
+        _set_conv1d(blk.mlp.c_proj, sd, f"{p}.mlp.c_proj")
+    _set_ln(tr.ln_f, sd, f"{pfx}ln_f")
+
+
+def from_pretrained_gpt2(path: str, dtype=None, *, rngs=None):
+    """Build + load a GPT2LMHeadModel from a local HF dir."""
+    import json
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models.gpt2 import GPT2LMHeadModel
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = gpt2_config_from_hf(hf, dtype=dtype)
+    model = GPT2LMHeadModel(cfg, rngs=rngs or nnx.Rngs(0))
+    load_gpt2(model, load_state_dict(path))
+    return model

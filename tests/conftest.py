@@ -55,6 +55,7 @@ _SLOW_PATTERNS = (
     "test_prompt_presence_matches_hf_processor_with_pads",
     "test_greedy_penalty_with_padding_matches_hf",
     "tests/models/test_hf_parity.py",
+    "tests/models/test_gpt2.py",
     "tests/models/test_training_parity.py",
     "tests/kernels/test_merged.py",
     "test_tp_training_matches_replicated",
