@@ -117,11 +117,14 @@ def build_model(args, peft_config):
         find_all_linear_names, init_lora, init_monarch, param_stats)
 
     if not args.smoke and os.path.isdir(args.model):
-        from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_llama
-        model = from_pretrained_llama(args.model, dtype="bfloat16",
-                                      remat=args.gradient_checkpointing,
-                                      remat_policy=args.remat_policy,
-                                      rngs=nnx.Rngs(args.seed))
+        # model_type-routing: any supported causal-LM family (the
+        # reference's AutoModelForCausalLM slot, qlora_monarch.py:231)
+        from sparse_matrix_fine_tuning_tpu.models.hf_convert import (
+            from_pretrained_causal_lm)
+        model = from_pretrained_causal_lm(args.model, dtype="bfloat16",
+                                          remat=args.gradient_checkpointing,
+                                          remat_policy=args.remat_policy,
+                                          rngs=nnx.Rngs(args.seed))
     else:
         if not args.smoke:
             print(f"[alpaca] no local weights at {args.model!r}; random tiny init")

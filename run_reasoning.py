@@ -112,11 +112,15 @@ def build_model(args, peft_config):
     from sparse_matrix_fine_tuning_tpu.peft import init_monarch, param_stats
 
     if not args.smoke and os.path.isdir(args.model):
-        from sparse_matrix_fine_tuning_tpu.models.hf_convert import from_pretrained_llama
-        model = from_pretrained_llama(args.model, dtype="bfloat16",
-                                      remat=args.gradient_checkpointing,
-                                      remat_policy=args.remat_policy,
-                                      rngs=nnx.Rngs(args.seed))
+        # model_type-routing: any supported causal-LM family (llama /
+        # mistral / gemma / qwen2 / gpt2), like the reference's
+        # AutoModelForCausalLM (loreft/train.py:116)
+        from sparse_matrix_fine_tuning_tpu.models.hf_convert import (
+            from_pretrained_causal_lm)
+        model = from_pretrained_causal_lm(args.model, dtype="bfloat16",
+                                          remat=args.gradient_checkpointing,
+                                          remat_policy=args.remat_policy,
+                                          rngs=nnx.Rngs(args.seed))
     else:
         if not args.smoke:
             print(f"[reasoning] no local weights at {args.model!r}; random tiny init")
@@ -126,8 +130,10 @@ def build_model(args, peft_config):
                                max_position_embeddings=1024)
         model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(args.seed))
     if not args.all_linear:
-        peft_config = dict(peft_config,
-                           target_modules=["q_proj", "k_proj", "v_proj", "o_proj"])
+        from sparse_matrix_fine_tuning_tpu.models.gpt2 import GPT2LMHeadModel
+        attn_targets = (["c_attn"] if isinstance(model, GPT2LMHeadModel)
+                        else ["q_proj", "k_proj", "v_proj", "o_proj"])
+        peft_config = dict(peft_config, target_modules=attn_targets)
     adapted = init_monarch(model, peft_config, rngs=nnx.Rngs(args.seed + 1))
     print(f"[reasoning] adapted {len(adapted)} layers with Monarch")
     if args.intervention_type not in ("Nothing", "NoIntervention"):

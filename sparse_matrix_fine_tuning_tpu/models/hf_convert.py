@@ -319,3 +319,23 @@ def from_pretrained_gpt2(path: str, dtype=None, *, rngs=None):
     model = GPT2LMHeadModel(cfg, rngs=rngs or nnx.Rngs(0))
     load_gpt2(model, load_state_dict(path))
     return model
+
+
+def from_pretrained_causal_lm(path: str, dtype="bfloat16", *, rngs=None,
+                              remat: bool = False,
+                              remat_policy: str = "nothing",
+                              param_dtype=None):
+    """Model_type-routing loader for any supported decoder-only checkpoint
+    dir: gpt2 -> GPT2LMHeadModel, llama/mistral/gemma/qwen2 ->
+    LlamaForCausalLM.  The harnesses use this so ``--model /path`` accepts
+    every causal-LM family (the reference gets this via HF
+    AutoModelForCausalLM -- qlora_monarch.py:231, loreft/train.py:116).
+    GPT-2 sizes never need remat, so those knobs are ignored for gpt2."""
+    import json
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    if hf.get("model_type") == "gpt2":
+        return from_pretrained_gpt2(path, dtype=dtype, rngs=rngs)
+    return from_pretrained_llama(path, dtype=dtype, rngs=rngs, remat=remat,
+                                 remat_policy=remat_policy,
+                                 param_dtype=param_dtype)

@@ -85,6 +85,26 @@ def test_gpt2_checkpoint_dir_roundtrip(tmp_path):
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
 
 
+def test_causal_lm_loader_routes_by_model_type(tmp_path):
+    """from_pretrained_causal_lm dispatches gpt2 vs llama-family from
+    config.json (the harnesses' --model path)."""
+    from sparse_matrix_fine_tuning_tpu.models import LlamaForCausalLM
+    from sparse_matrix_fine_tuning_tpu.models.hf_convert import (
+        from_pretrained_causal_lm)
+    hf_gpt2, _ = _hf_tiny()
+    hf_gpt2.save_pretrained(tmp_path / "gpt2")
+    got = from_pretrained_causal_lm(str(tmp_path / "gpt2"), dtype=None)
+    assert isinstance(got, GPT2LMHeadModel)
+
+    llama_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=128)
+    transformers.LlamaForCausalLM(llama_cfg).save_pretrained(tmp_path / "llama")
+    got = from_pretrained_causal_lm(str(tmp_path / "llama"), dtype=None)
+    assert isinstance(got, LlamaForCausalLM)
+
+
 def test_gpt2_monarch_surgery_and_grads():
     """init_monarch targets the HF GPT-2 module names (c_attn fused qkv is
     rectangular 64->192); forward preserved at zero-init, grads reach the
