@@ -475,6 +475,11 @@ def main():
     # quantized frozen base + unmerged adapters (docs/BENCHMARKS.md decode
     # table's sweet spot), slope-timed 128-vs-384 new tokens
     int8_decode = _bench_int8_decode()
+    if "error" in int8_decode:
+        # the tunnel's remote-compile endpoint can transiently drop a
+        # response (observed: "response body closed before all bytes were
+        # read"); one retry distinguishes transient from real failures
+        int8_decode = _bench_int8_decode()
 
     print(json.dumps({
         "metric": "monarch_adapter_overhead_speedup_vs_xla_unfused",

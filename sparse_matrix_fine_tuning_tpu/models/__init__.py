@@ -1,5 +1,9 @@
 from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig, RobertaConfig
 from sparse_matrix_fine_tuning_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+from sparse_matrix_fine_tuning_tpu.models.gpt_neox import (
+    GPTNeoXConfig,
+    GPTNeoXForCausalLM,
+)
 from sparse_matrix_fine_tuning_tpu.models.llama import LlamaForCausalLM, LlamaModel
 from sparse_matrix_fine_tuning_tpu.models.roberta import (
     RobertaForSequenceClassification,
@@ -10,6 +14,8 @@ from sparse_matrix_fine_tuning_tpu.models.toy import GRUModel, MLPModel, ToyConf
 __all__ = [
     "GPT2Config",
     "GPT2LMHeadModel",
+    "GPTNeoXConfig",
+    "GPTNeoXForCausalLM",
     "LlamaConfig",
     "RobertaConfig",
     "LlamaForCausalLM",

@@ -336,6 +336,63 @@ def from_pretrained_causal_lm(path: str, dtype="bfloat16", *, rngs=None,
         hf = json.load(f)
     if hf.get("model_type") == "gpt2":
         return from_pretrained_gpt2(path, dtype=dtype, rngs=rngs)
+    if hf.get("model_type") == "gpt_neox":
+        return from_pretrained_gpt_neox(path, dtype=dtype, rngs=rngs)
     return from_pretrained_llama(path, dtype=dtype, rngs=rngs, remat=remat,
                                  remat_policy=remat_policy,
                                  param_dtype=param_dtype)
+
+
+def gpt_neox_config_from_hf(hf: Dict, **overrides):
+    """Map an HF GPT-NeoX/Pythia ``config.json`` onto a GPTNeoXConfig."""
+    from sparse_matrix_fine_tuning_tpu.models.gpt_neox import GPTNeoXConfig
+    kw = dict(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+        rotary_pct=hf.get("rotary_pct", 0.25),
+        rope_theta=hf.get("rotary_emb_base", hf.get("rope_theta", 10000.0)),
+        use_parallel_residual=hf.get("use_parallel_residual", True),
+        hidden_act=hf.get("hidden_act", "gelu"),
+        bos_token_id=hf.get("bos_token_id", 0),
+        eos_token_id=hf.get("eos_token_id", 0),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+    kw["pad_token_id"] = hf.get("pad_token_id") or kw["eos_token_id"]
+    kw.update(overrides)
+    return GPTNeoXConfig(**kw)
+
+
+def load_gpt_neox(model, state_dict: Dict) -> None:
+    """Populate a GPTNeoXForCausalLM from an HF ``gpt_neox`` state dict
+    (rotary inv_freq / causal-mask buffers are derived, never read)."""
+    sd = state_dict
+    nx = model.gpt_neox
+    _set_embed(nx.embed_in, sd, "gpt_neox.embed_in.weight")
+    for i, lyr in enumerate(nx.layers):
+        p = f"gpt_neox.layers.{i}"
+        _set_ln(lyr.input_layernorm, sd, f"{p}.input_layernorm")
+        _set_ln(lyr.post_attention_layernorm, sd, f"{p}.post_attention_layernorm")
+        _set_linear(lyr.attention.query_key_value, sd,
+                    f"{p}.attention.query_key_value")
+        _set_linear(lyr.attention.dense, sd, f"{p}.attention.dense")
+        _set_linear(lyr.mlp.dense_h_to_4h, sd, f"{p}.mlp.dense_h_to_4h")
+        _set_linear(lyr.mlp.dense_4h_to_h, sd, f"{p}.mlp.dense_4h_to_h")
+    _set_ln(nx.final_layer_norm, sd, "gpt_neox.final_layer_norm")
+    _set_linear(model.embed_out, sd, "embed_out")
+
+
+def from_pretrained_gpt_neox(path: str, dtype=None, *, rngs=None):
+    """Build + load a GPTNeoXForCausalLM from a local HF dir."""
+    import json
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models.gpt_neox import GPTNeoXForCausalLM
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = gpt_neox_config_from_hf(hf, dtype=dtype)
+    model = GPTNeoXForCausalLM(cfg, rngs=rngs or nnx.Rngs(0))
+    load_gpt_neox(model, load_state_dict(path))
+    return model
