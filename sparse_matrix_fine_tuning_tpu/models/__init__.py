@@ -1,5 +1,9 @@
 from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig, RobertaConfig
 from sparse_matrix_fine_tuning_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+from sparse_matrix_fine_tuning_tpu.models.gpt_neo import (
+    GPTNeoConfig,
+    GPTNeoForCausalLM,
+)
 from sparse_matrix_fine_tuning_tpu.models.gpt_neox import (
     GPTNeoXConfig,
     GPTNeoXForCausalLM,
@@ -14,6 +18,8 @@ from sparse_matrix_fine_tuning_tpu.models.toy import GRUModel, MLPModel, ToyConf
 __all__ = [
     "GPT2Config",
     "GPT2LMHeadModel",
+    "GPTNeoConfig",
+    "GPTNeoForCausalLM",
     "GPTNeoXConfig",
     "GPTNeoXForCausalLM",
     "LlamaConfig",

@@ -338,6 +338,8 @@ def from_pretrained_causal_lm(path: str, dtype="bfloat16", *, rngs=None,
         return from_pretrained_gpt2(path, dtype=dtype, rngs=rngs)
     if hf.get("model_type") == "gpt_neox":
         return from_pretrained_gpt_neox(path, dtype=dtype, rngs=rngs)
+    if hf.get("model_type") == "gpt_neo":
+        return from_pretrained_gpt_neo(path, dtype=dtype, rngs=rngs)
     return from_pretrained_llama(path, dtype=dtype, rngs=rngs, remat=remat,
                                  remat_policy=remat_policy,
                                  param_dtype=param_dtype)
@@ -395,4 +397,68 @@ def from_pretrained_gpt_neox(path: str, dtype=None, *, rngs=None):
     cfg = gpt_neox_config_from_hf(hf, dtype=dtype)
     model = GPTNeoXForCausalLM(cfg, rngs=rngs or nnx.Rngs(0))
     load_gpt_neox(model, load_state_dict(path))
+    return model
+
+
+def gpt_neo_config_from_hf(hf: Dict, **overrides):
+    """Map an HF GPT-Neo ``config.json`` (num_layers/num_heads naming,
+    nested attention_types) onto a GPTNeoConfig."""
+    from sparse_matrix_fine_tuning_tpu.models.gpt_neo import GPTNeoConfig
+    layers = hf.get("attention_layers")
+    if layers is None and hf.get("attention_types"):
+        layers = []
+        for types, n in hf["attention_types"]:
+            layers += list(types) * n
+    kw = dict(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf.get("num_layers", hf.get("num_hidden_layers", 24)),
+        num_attention_heads=hf.get("num_heads", hf.get("num_attention_heads", 16)),
+        intermediate_size=hf.get("intermediate_size"),
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        layer_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        attention_layers=tuple(layers) if layers else None,
+        window_size=hf.get("window_size", 256),
+        bos_token_id=hf.get("bos_token_id", 50256),
+        eos_token_id=hf.get("eos_token_id", 50256),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True),
+    )
+    kw["pad_token_id"] = hf.get("pad_token_id") or kw["eos_token_id"]
+    kw.update(overrides)
+    return GPTNeoConfig(**kw)
+
+
+def load_gpt_neo(model, state_dict: Dict) -> None:
+    """Populate a GPTNeoForCausalLM from an HF ``gpt_neo`` state dict (the
+    HF module nests the self-attention as ``attn.attention``; here it is
+    flat ``attention``)."""
+    sd = state_dict
+    tr = model.transformer
+    _set_embed(tr.wte, sd, "transformer.wte.weight")
+    _set_embed(tr.wpe, sd, "transformer.wpe.weight")
+    for i, blk in enumerate(tr.h):
+        p = f"transformer.h.{i}"
+        _set_ln(blk.ln_1, sd, f"{p}.ln_1")
+        _set_linear(blk.attention.q_proj, sd, f"{p}.attn.attention.q_proj")
+        _set_linear(blk.attention.k_proj, sd, f"{p}.attn.attention.k_proj")
+        _set_linear(blk.attention.v_proj, sd, f"{p}.attn.attention.v_proj")
+        _set_linear(blk.attention.out_proj, sd, f"{p}.attn.attention.out_proj")
+        _set_ln(blk.ln_2, sd, f"{p}.ln_2")
+        _set_linear(blk.mlp.c_fc, sd, f"{p}.mlp.c_fc")
+        _set_linear(blk.mlp.c_proj, sd, f"{p}.mlp.c_proj")
+    _set_ln(tr.ln_f, sd, "transformer.ln_f")
+    if model.lm_head is not None and "lm_head.weight" in sd:
+        _set_linear(model.lm_head, sd, "lm_head")
+
+
+def from_pretrained_gpt_neo(path: str, dtype=None, *, rngs=None):
+    """Build + load a GPTNeoForCausalLM from a local HF dir."""
+    import json
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models.gpt_neo import GPTNeoForCausalLM
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = gpt_neo_config_from_hf(hf, dtype=dtype)
+    model = GPTNeoForCausalLM(cfg, rngs=rngs or nnx.Rngs(0))
+    load_gpt_neo(model, load_state_dict(path))
     return model

@@ -57,6 +57,7 @@ _SLOW_PATTERNS = (
     "tests/models/test_hf_parity.py",
     "tests/models/test_gpt2.py",
     "tests/models/test_gpt_neox.py",
+    "tests/models/test_gpt_neo.py",
     "tests/models/test_training_parity.py",
     "tests/kernels/test_merged.py",
     "test_tp_training_matches_replicated",
