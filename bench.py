@@ -376,10 +376,11 @@ def main():
     from sparse_matrix_fine_tuning_tpu.training import Trainer, TrainingArgs
 
     BS, GA, T = 4, 8, 512
-    # remat_policy="dots": measured-best on this chip (scripts/
-    # exp_remat_policy.py: 380.8 ms/step vs 425.7 full-recompute vs 422.7
-    # no-remat) -- matmul outputs stay resident, only elementwise work
-    # recomputes; memory-tight single-chip 7B configs keep "nothing"
+    # remat_policy="dots": best-or-tied across measurement rounds on this
+    # chip (scripts/exp_remat_policy.py; margins within the runtime's
+    # day-to-day variance -- docs/BENCHMARKS.md "Remat policy") -- matmul
+    # outputs stay resident, only elementwise work recomputes;
+    # memory-tight single-chip 7B configs keep "nothing"
     cfg = LlamaConfig(hidden_size=2048, num_hidden_layers=8,
                       num_attention_heads=16, num_key_value_heads=16,
                       intermediate_size=5504, vocab_size=32000,
