@@ -4,9 +4,9 @@
 #
 # Measured WARM (shared jit disk cache populated) on the sandbox's single
 # CPU core (2026-08-19, all green):
-#   test-fast  200 passed in 1:51
-#   test-slow  204 passed in 9:49 (while sharing the core with a TPU bench;
-#              ~6 min on an idle core)
+#   test-fast  226 passed in 2:10
+#   test-slow  225 passed in 13:13 (while sharing the core with a TPU
+#              bench; ~6-8 min on an idle core)
 # Cold-cache runs are several times slower (every jit compiles once); on a
 # multi-core box use `make test-par` (pytest-xdist), which shares the same
 # disk cache across workers.
