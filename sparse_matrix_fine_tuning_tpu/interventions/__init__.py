@@ -1,4 +1,8 @@
 from sparse_matrix_fine_tuning_tpu.interventions.causal_model import CausalModel
+from sparse_matrix_fine_tuning_tpu.interventions.das import (
+    interchange_accuracy,
+    train_das,
+)
 from sparse_matrix_fine_tuning_tpu.interventions.pyvene_io import (
     load_pyvene_interventions,
     save_pyvene_interventions,
@@ -28,6 +32,8 @@ __all__ = [
     "ReftModel",
     "RotatedSpaceIntervention",
     "get_reft_model",
+    "interchange_accuracy",
     "load_pyvene_interventions",
+    "train_das",
     "save_pyvene_interventions",
 ]

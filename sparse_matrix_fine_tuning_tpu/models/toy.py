@@ -38,6 +38,10 @@ class ToyConfig:
     input_dim: int = 1          # per-position feature width (float inputs)
     vocab_size: Optional[int] = None  # set to use int token inputs + embedding
     squeeze_output: bool = False      # logits (b,) for binary heads
+    # learned absolute position embeddings (0 disables).  Positionwise
+    # blocks + mean-pool are otherwise position-blind, which makes
+    # position-sensitive causal tasks (e.g. X+Y >= Z+W) unlearnable.
+    max_positions: int = 0
 
 
 def _linear(din, dout, rngs):
@@ -78,6 +82,9 @@ class MLPModel(_HookedStack):
                                    param_dtype=jnp.float32, rngs=rngs)
         else:
             self.embed = _linear(cfg.input_dim, cfg.hidden_size, rngs)
+        self.wpe = (nnx.Embed(cfg.max_positions, cfg.hidden_size,
+                              param_dtype=jnp.float32, rngs=rngs)
+                    if cfg.max_positions else None)
         self.blocks = nnx.List([
             _linear(cfg.hidden_size, cfg.hidden_size, rngs)
             for _ in range(cfg.num_hidden_layers)])
@@ -94,6 +101,8 @@ class MLPModel(_HookedStack):
             if x.ndim == 2:  # (b, seq) scalars -> (b, seq, 1)
                 x = x[..., None]
             h = self.embed(x.astype(jnp.float32))
+        if self.wpe is not None:
+            h = h + self.wpe(jnp.arange(h.shape[1]))[None]
         for i, blk in enumerate(self.blocks):
             h = jax.nn.gelu(blk(h))
             if i in hooks:
