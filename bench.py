@@ -408,8 +408,28 @@ def main():
     tr = Trainer(model, targs, train_data=data, loss_fn=lm_loss)
     tr.model.train()
     batches = [b for b, _ in tr._batches(data, BS, shuffle=False, accum=GA)]
-    for _ in range(3):  # compile + tunnel first-execution finalization
-        float(tr._train_step_accum(tr.model, tr.optimizer, batches[0]))
+    try:
+        for _ in range(3):  # compile + tunnel first-execution finalization
+            float(tr._train_step_accum(tr.model, tr.optimizer, batches[0]))
+    except Exception:  # noqa: BLE001 -- observed once: ResourceExhausted
+        # from leftover device state (a killed prior process's buffers on
+        # the tunnel server).  Drop every live buffer the earlier bench
+        # sections still reference, clear executable caches, rebuild once.
+        import gc
+        del tr, model
+        jax.clear_caches()
+        gc.collect()
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        init_monarch(model, {
+            "monarch": True, "nblocks": 4, "blk_r": 4, "adapter": True,
+            "target_modules": ["q_proj", "v_proj", "k_proj", "o_proj",
+                               "gate_proj", "up_proj", "down_proj"]},
+            rngs=nnx.Rngs(1))
+        tr = Trainer(model, targs, train_data=data, loss_fn=lm_loss)
+        tr.model.train()
+        batches = [b for b, _ in tr._batches(data, BS, shuffle=False, accum=GA)]
+        for _ in range(3):
+            float(tr._train_step_accum(tr.model, tr.optimizer, batches[0]))
     times = []
     for i in range(8):  # per-step sync: mixed-executable queues serialize
         t0 = _time.time()
