@@ -31,6 +31,11 @@ def parse_args():
                             "input-output"])
     p.add_argument("-data_dir", "--data_dir", default="dataset")
     p.add_argument("--bits", default=16, type=int, choices=[16, 8, 4])
+    p.add_argument("--quant_lm_head", default=False, type=eval,
+                   help="also int8-quantize the (frozen, untied) lm_head; "
+                        "OFF by default like bitsandbytes' "
+                        "llm_int8_skip_modules=['lm_head'] that the "
+                        "reference qlora flow inherits")
     p.add_argument("--adapter", default="monarch", choices=["monarch", "lora"],
                    help="monarch (qlora_monarch.py flow) or lora (qlora.py baseline)")
     p.add_argument("-seed", "--seed", default=42, type=int)
@@ -147,6 +152,10 @@ def build_model(args, peft_config):
         from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
         n = quantize_frozen_base(model, bits=args.bits)
         print(f"[alpaca] quantized {n} frozen base matrices to int{args.bits}")
+    if args.quant_lm_head:
+        from sparse_matrix_fine_tuning_tpu.quant import quantize_lm_head
+        if quantize_lm_head(model):
+            print("[alpaca] quantized lm_head to int8")
     param_stats(model)
     return model
 

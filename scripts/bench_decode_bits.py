@@ -26,7 +26,7 @@ from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
 B, NEW, PROMPT = 4, 128, 64
 
 
-def measure(bits):
+def measure(bits, quant_lm_head=False):
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=2048, num_hidden_layers=22,
         num_attention_heads=32, num_key_value_heads=4,
@@ -40,6 +40,9 @@ def measure(bits):
         rngs=nnx.Rngs(1))
     if bits:
         quantize_frozen_base(model, bits=bits)
+    if quant_lm_head:
+        from sparse_matrix_fine_tuning_tpu.quant import quantize_lm_head
+        assert quantize_lm_head(model)
     model.eval()
     mask = jnp.ones((B, PROMPT), jnp.int32)
     rng = np.random.default_rng(0)
@@ -63,28 +66,32 @@ def measure(bits):
 
     per_tok = statistics.median(one_round() for _ in range(3))
     # weight-traffic roofline: every decode step reads the full frozen
-    # base (+ adapters, negligible) once from HBM
-    p = cfg.num_hidden_layers * (
+    # base (+ adapters, negligible) once from HBM.  Per-matrix widths:
+    # projections at `bits`, lm_head bf16 unless quant_lm_head (then
+    # int8), embedding gather is B rows -- negligible, excluded.
+    p_proj = cfg.num_hidden_layers * (
         cfg.hidden_size * (cfg.num_attention_heads
                            + 2 * (cfg.num_key_value_heads or 32)) *
         (cfg.hidden_size // cfg.num_attention_heads)
         + cfg.hidden_size * cfg.hidden_size
-        + 3 * cfg.hidden_size * cfg.intermediate_size) \
-        + 2 * cfg.vocab_size * cfg.hidden_size
+        + 3 * cfg.hidden_size * cfg.intermediate_size)
+    p_head = cfg.vocab_size * cfg.hidden_size
     bytes_per_w = {0: 2, 8: 1, 4: 0.5}[bits]
-    floor_s = p * bytes_per_w / 819e9
-    return {"bits": bits or 16, "ms_per_decode_step": round(per_tok * 1e3, 3),
+    floor_s = (p_proj * bytes_per_w
+               + p_head * (1 if quant_lm_head else 2)) / 819e9
+    return {"bits": bits or 16, "quant_lm_head": quant_lm_head,
+            "ms_per_decode_step": round(per_tok * 1e3, 3),
             "tokens_per_s": round(B / per_tok),
             "pct_of_weight_roofline": round(floor_s / per_tok * 100, 1)}
 
 
 def main():
     out = []
-    for bits in (0, 8, 4):
+    for bits, qlm in ((0, False), (8, False), (8, True), (4, False)):
         try:
-            rec = measure(bits)
+            rec = measure(bits, qlm)
         except Exception as e:  # noqa: BLE001
-            rec = {"bits": bits or 16,
+            rec = {"bits": bits or 16, "quant_lm_head": qlm,
                    "error": f"{type(e).__name__}: {str(e)[:160]}"}
         print(json.dumps(rec), flush=True)
         out.append(rec)

@@ -156,6 +156,63 @@ def _fit_group(in_f: int, group_size: int):
     return None  # groups < 8 would balloon the f32 scales; stay bf16
 
 
+class Int8LMHead(nnx.Module):
+    """Frozen int8 lm_head (drop-in for the ``nnx.Linear`` one).
+
+    Opt-in and OFF by default, matching bitsandbytes' default
+    ``llm_int8_skip_modules=["lm_head"]`` that the reference's qlora flow
+    inherits (qlora/qlora.py): quantizing the logit projection trades a
+    little logit precision for decode bandwidth.  Small-batch decode is
+    weight-read-bound and the bf16 lm_head is the single largest
+    unquantized matrix left after ``quantize_frozen_base`` (~12% of
+    TinyLlama's per-token HBM traffic, ~7% of 7B's under int4); per-output
+    -column absmax int8 halves that share.  Routed through the fused
+    Pallas dequant-dot (kernels/quant_matmul.py) where supported so the
+    dequantized bf16 matrix never round-trips HBM.
+    """
+
+    def __init__(self, q_t, scales, compute_dtype=None):
+        self.kernel_q = nnx.Param(q_t)      # (in, vocab) int8, frozen
+        self.scales = QuantScales(scales)   # (1, vocab) f32
+        self.compute_dtype = compute_dtype
+
+    def __call__(self, x):
+        from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import (
+            int8_matmul, int8_matmul_supported)
+        q, s = self.kernel_q[...], self.scales[...]
+        compute = self.compute_dtype if self.compute_dtype is not None \
+            else x.dtype
+        xq = x.astype(compute)
+        if (jax.default_backend() == "tpu"
+                and int8_matmul_supported(x.shape, q.shape,
+                                          xq.dtype.itemsize)):
+            return int8_matmul(xq, q, s).astype(x.dtype)
+        w = (q.astype(jnp.float32) * s).astype(compute)
+        return jax.lax.dot_general(
+            xq, w, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def quantize_lm_head(model: nnx.Module) -> bool:
+    """Replace ``model.lm_head`` (untied ``nnx.Linear``) with an
+    :class:`Int8LMHead`.  Returns False (with a note) for tied-embedding
+    models, whose logits reuse the embedding matrix, and for heads with a
+    bias (none of the supported families has one).  Quantizes on device
+    like :func:`quantize_frozen_base`."""
+    head = getattr(model, "lm_head", None)
+    if head is None:
+        print("[quant] lm_head is tied to the embedding; not quantized")
+        return False
+    if getattr(head, "bias", None) is not None and head.bias is not None:
+        print("[quant] lm_head has a bias; not quantized")
+        return False
+    kernel = head.kernel[...]  # (in, vocab)
+    q_t, scales = jax.jit(_quantize_int8_device)(kernel.T)
+    model.lm_head = Int8LMHead(q_t, scales,
+                               compute_dtype=getattr(head, "dtype", None))
+    return True
+
+
 def quantize_frozen_base(model: nnx.Module, bits: int = 8,
                          group_size: int = 64) -> int:
     """Quantize every MonarchLinear's frozen dense weight in place.

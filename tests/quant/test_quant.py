@@ -92,3 +92,38 @@ def test_quantized_model_trains():
     assert np.isfinite(float(val))
     gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
     assert gnorm > 0
+
+
+def test_int8_lm_head_logits_close_and_tied_refused():
+    from sparse_matrix_fine_tuning_tpu.quant import Int8LMHead, quantize_lm_head
+
+    cfg = LlamaConfig.tiny()
+    model = fresh_model(LlamaForCausalLM, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 2, cfg.vocab_size)
+    ref = model(ids)
+    assert quantize_lm_head(model)
+    assert isinstance(model.lm_head, Int8LMHead)
+    out = model(ids)
+    err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert err < 0.02  # per-column absmax int8: ~1/127 worst case
+    # tied embeddings reuse the embedding matrix for logits: refuse
+    tied = fresh_model(LlamaForCausalLM, LlamaConfig.tiny(tie_word_embeddings=True))
+    assert not quantize_lm_head(tied)
+
+
+def test_int8_lm_head_fused_kernel_matches_xla_dequant():
+    """The Pallas dequant-dot and the XLA dequantize-then-dot paths of
+    Int8LMHead must agree bit-for-bit modulo accumulation order (both
+    accumulate f32); interpret=True exercises the kernel on CPU."""
+    from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import int8_matmul
+    from sparse_matrix_fine_tuning_tpu.quant import quantize_int8
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(256, 32)).astype(np.float32)  # (out, in)
+    q_t, s = quantize_int8(w)  # (in, out), (1, out)
+    x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+    fused = int8_matmul(x, jnp.asarray(q_t), jnp.asarray(s), interpret=True)
+    wd = (jnp.asarray(q_t).astype(jnp.float32) * jnp.asarray(s))
+    xla = x @ wd
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
+                               rtol=1e-5, atol=1e-5)
