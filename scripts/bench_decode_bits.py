@@ -42,7 +42,7 @@ def measure(bits, quant_lm_head=False):
         quantize_frozen_base(model, bits=bits)
     if quant_lm_head:
         from sparse_matrix_fine_tuning_tpu.quant import quantize_lm_head
-        assert quantize_lm_head(model)
+        assert quantize_lm_head(model, impl=quant_lm_head)
     model.eval()
     mask = jnp.ones((B, PROMPT), jnp.int32)
     rng = np.random.default_rng(0)
@@ -87,7 +87,8 @@ def measure(bits, quant_lm_head=False):
 
 def main():
     out = []
-    for bits, qlm in ((0, False), (8, False), (8, True), (4, False)):
+    for bits, qlm in ((0, False), (8, False), (8, "dequant"),
+                      (8, "w8a8"), (4, False)):
         try:
             rec = measure(bits, qlm)
         except Exception as e:  # noqa: BLE001

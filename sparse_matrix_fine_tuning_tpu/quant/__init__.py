@@ -166,34 +166,51 @@ class Int8LMHead(nnx.Module):
     weight-read-bound and the bf16 lm_head is the single largest
     unquantized matrix left after ``quantize_frozen_base`` (~12% of
     TinyLlama's per-token HBM traffic, ~7% of 7B's under int4); per-output
-    -column absmax int8 halves that share.  Routed through the fused
-    Pallas dequant-dot (kernels/quant_matmul.py) where supported so the
-    dequantized bf16 matrix never round-trips HBM.
+    -column absmax int8 halves that share.
+
+    Implementation choice is measured, not assumed (standalone slope-timed
+    at the (4, 2048) x (2048, 32000) decode shape on the v5e):
+
+      bf16 dot 178.6 us | XLA dequant-dot 94.8 | fused Pallas 113.4 |
+      w8a8 int8-MXU 89.3 -- all int8 variants argmax-exact vs bf16.
+
+    XLA fuses the int8->bf16 dequant into the dot at this fat-out shape
+    (no HBM materialization), and a Pallas custom call inside the decode
+    ``lax.while_loop`` pays this runtime's ~175 us layout/scheduling
+    penalty (kernels/runtime_gate.py) -- measured +177 us/step on the
+    full decode loop.  So the default is the plain XLA dequant dot;
+    ``impl="w8a8"`` opts into per-token activation quantization with an
+    int8xint8->int32 MXU dot (fastest, one more quantization error term).
     """
 
-    def __init__(self, q_t, scales, compute_dtype=None):
+    def __init__(self, q_t, scales, compute_dtype=None, impl="dequant"):
+        assert impl in ("dequant", "w8a8")
         self.kernel_q = nnx.Param(q_t)      # (in, vocab) int8, frozen
         self.scales = QuantScales(scales)   # (1, vocab) f32
         self.compute_dtype = compute_dtype
+        self.impl = impl
 
     def __call__(self, x):
-        from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import (
-            int8_matmul, int8_matmul_supported)
         q, s = self.kernel_q[...], self.scales[...]
         compute = self.compute_dtype if self.compute_dtype is not None \
             else x.dtype
-        xq = x.astype(compute)
-        if (jax.default_backend() == "tpu"
-                and int8_matmul_supported(x.shape, q.shape,
-                                          xq.dtype.itemsize)):
-            return int8_matmul(xq, q, s).astype(x.dtype)
+        dims = (((x.ndim - 1,), (0,)), ((), ()))
+        if self.impl == "w8a8":
+            xf = x.astype(jnp.float32)
+            sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            sx = jnp.maximum(sx, 1e-12)
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, q, dimension_numbers=dims,
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * sx * s).astype(x.dtype)
         w = (q.astype(jnp.float32) * s).astype(compute)
         return jax.lax.dot_general(
-            xq, w, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            x.astype(compute), w, dimension_numbers=dims,
             preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def quantize_lm_head(model: nnx.Module) -> bool:
+def quantize_lm_head(model: nnx.Module, impl: str = "dequant") -> bool:
     """Replace ``model.lm_head`` (untied ``nnx.Linear``) with an
     :class:`Int8LMHead`.  Returns False (with a note) for tied-embedding
     models, whose logits reuse the embedding matrix, and for heads with a
@@ -209,7 +226,8 @@ def quantize_lm_head(model: nnx.Module) -> bool:
     kernel = head.kernel[...]  # (in, vocab)
     q_t, scales = jax.jit(_quantize_int8_device)(kernel.T)
     model.lm_head = Int8LMHead(q_t, scales,
-                               compute_dtype=getattr(head, "dtype", None))
+                               compute_dtype=getattr(head, "dtype", None),
+                               impl=impl)
     return True
 
 

@@ -106,6 +106,12 @@ def test_int8_lm_head_logits_close_and_tied_refused():
     out = model(ids)
     err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
     assert err < 0.02  # per-column absmax int8: ~1/127 worst case
+    # w8a8: one more error term (activation quant), still close
+    model8 = fresh_model(LlamaForCausalLM, cfg)
+    assert quantize_lm_head(model8, impl="w8a8")
+    out8 = model8(ids)
+    err8 = float(jnp.abs(out8 - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert err8 < 0.04
     # tied embeddings reuse the embedding matrix for logits: refuse
     tied = fresh_model(LlamaForCausalLM, LlamaConfig.tiny(tie_word_embeddings=True))
     assert not quantize_lm_head(tied)
