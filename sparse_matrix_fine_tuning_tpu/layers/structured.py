@@ -1,9 +1,10 @@
 """Additional structured linear layers: BlockdiagLinear and ButterflyFFT.
 
 Completes the reference's layer inventory (src/layers/blockdiag_linear.py:11-70
-and src/ops/blockdiag_butterfly_projection.py:52-87).  BlockSparseLinear and
-SpectralConv are vestigial in the reference (broken imports inherited from
-HazyResearch/fly -- SURVEY.md section 2.2) and are intentionally not ported.
+and src/ops/blockdiag_butterfly_projection.py:52-87).  BlockSparseLinear is
+vestigial in the reference (broken imports inherited from HazyResearch/fly --
+SURVEY.md section 2.2) and is intentionally not ported; SpectralConv1d/2d
+(dead code there) have WORKING equivalents in layers/spectral.py.
 """
 
 from __future__ import annotations
