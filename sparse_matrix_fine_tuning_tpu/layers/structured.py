@@ -1,10 +1,10 @@
 """Additional structured linear layers: BlockdiagLinear and ButterflyFFT.
 
 Completes the reference's layer inventory (src/layers/blockdiag_linear.py:11-70
-and src/ops/blockdiag_butterfly_projection.py:52-87).  BlockSparseLinear is
-vestigial in the reference (broken imports inherited from HazyResearch/fly --
-SURVEY.md section 2.2) and is intentionally not ported; SpectralConv1d/2d
-(dead code there) have WORKING equivalents in layers/spectral.py.
+and src/ops/blockdiag_butterfly_projection.py:52-87).  BlockSparseLinear and
+SpectralConv1d/2d are vestigial in the reference (broken imports / dead code
+inherited from HazyResearch/fly -- SURVEY.md section 2.2) but have WORKING
+TPU-native equivalents here: layers/blocksparse.py and layers/spectral.py.
 """
 
 from __future__ import annotations
