@@ -74,3 +74,31 @@ def test_sharded_greedy_matches_unsharded(axes):
 
     out = np.asarray(generate(sharded, ids, mask, gcfg))
     np.testing.assert_array_equal(ref, out)
+
+
+@needs_mesh
+def test_sharded_quantized_serving_matches_unsharded():
+    """The measured-best serving config (int8 frozen base + w8a8 int8
+    lm_head + unmerged adapters -- docs/BENCHMARKS.md decode table) must
+    stay token-exact when the model is mesh-sharded: quantized Params and
+    QuantScales flow through the same GSPMD placement as everything else."""
+    from sparse_matrix_fine_tuning_tpu.quant import (
+        quantize_frozen_base, quantize_lm_head)
+
+    cfg, plain = _model()
+    quantize_frozen_base(plain, bits=8)
+    assert quantize_lm_head(plain, impl="w8a8")
+    rng = np.random.default_rng(1)
+    b, t = 2, 10
+    ids = rng.integers(2, cfg.vocab_size, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), np.int32)
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=None,
+                            pad_token_id=0)
+    ref = np.asarray(generate(plain, ids, mask, gcfg))
+
+    _, sharded = _model()
+    quantize_frozen_base(sharded, bits=8)
+    assert quantize_lm_head(sharded, impl="w8a8")
+    _shard_like_trainer(sharded, make_mesh(dp=2, fsdp=2, tp=2))
+    out = np.asarray(generate(sharded, ids, mask, gcfg))
+    np.testing.assert_array_equal(ref, out)
