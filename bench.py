@@ -106,11 +106,13 @@ def _emit_stale_record(reason: str) -> None:
 
 
 def _bench_int8_decode():
-    """Greedy decode tokens/s, int8 frozen base + unmerged Monarch adapters
-    (the serving sweet spot -- docs/BENCHMARKS.md decode table), on the
-    TinyLlama-1.1B shape.  Slope-timed: one call generating N tokens vs one
-    generating 3N with fresh prompts (identical-args calls are elided by
-    the tunnel), per-token = slope; cancels prefill + dispatch cost."""
+    """Greedy decode tokens/s, int8 frozen base + w8a8 int8 lm_head +
+    unmerged Monarch adapters (the measured-best serving config --
+    docs/BENCHMARKS.md decode table; ablation vs plain int8/bf16 in the
+    committed results/decode_bits.json), on the TinyLlama-1.1B shape.
+    Slope-timed: one call generating N tokens vs one generating 3N with
+    fresh prompts (identical-args calls are elided by the tunnel),
+    per-token = slope; cancels prefill + dispatch cost."""
     import time as _time
 
     import numpy as onp
@@ -136,6 +138,8 @@ def _bench_int8_decode():
                                "gate_proj", "up_proj", "down_proj"]},
             rngs=nnx.Rngs(1))
         quantize_frozen_base(model, bits=8)
+        from sparse_matrix_fine_tuning_tpu.quant import quantize_lm_head
+        quantize_lm_head(model, impl="w8a8")
         model.eval()
         mask = jnp.ones((B, PROMPT), jnp.int32)
         rng = np.random.default_rng(0)
@@ -163,7 +167,8 @@ def _bench_int8_decode():
             "tokens_per_s": round(B / per_tok),
             "config": ("TinyLlama-1.1B shape (2048h x 22L, GQA4), int8 "
                        "frozen base + fused dequant-matmul kernels + "
-                       "unmerged Monarch adapters, greedy, batch 4"),
+                       "w8a8 int8 lm_head + unmerged Monarch adapters, "
+                       "greedy, batch 4"),
         }
     except Exception as e:  # noqa: BLE001 -- decode bench must not sink the record
         return {"error": f"{type(e).__name__}: {str(e)[:200]}"}
