@@ -137,11 +137,18 @@ def use_fused_dw() -> bool:
     except Exception:  # noqa: BLE001 -- absent/corrupt cache: re-probe
         pass
     try:
-        verdict = _probe()
+        # The first query can arrive INSIDE a jit trace (merged.py's
+        # custom-vjp backward asks while the train step is being traced).
+        # Under omnistaging every op in the probe would then return
+        # tracers and the timing fetch would raise
+        # TracerArrayConversionError -- ensure_compile_time_eval escapes
+        # the trace so the probe really executes (eagerly, on device).
+        with jax.ensure_compile_time_eval():
+            verdict = _probe()
     except Exception as e:  # noqa: BLE001 -- a failed probe must never
         # sink training; XLA is always correct
         print(f"[runtime_gate] fused-dw probe failed ({type(e).__name__}: "
-              f"{str(e)[:120]}); keeping the XLA path", flush=True)
+              f"{str(e)[:300]}); keeping the XLA path", flush=True)
         verdict = False
     _DECISION = verdict
     try:

@@ -137,3 +137,37 @@ def test_merged_bwd_fused_dispatch(monkeypatch):
     for a, b in zip(g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_runtime_gate_probe_inside_trace(monkeypatch, tmp_path):
+    """The first gate query can arrive while a train step is being TRACED
+    (merged_apply's custom-vjp backward).  The probe must escape the trace
+    (jax.ensure_compile_time_eval) so its timing fetch sees concrete values
+    -- regression for a TracerArrayConversionError that silently forced the
+    XLA path whenever the gate was first hit in-jit."""
+    import numpy as np
+
+    from sparse_matrix_fine_tuning_tpu.kernels import runtime_gate as rg
+
+    monkeypatch.setenv("SMFT_PALLAS_DW", "auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(rg, "_cache_path",
+                        lambda: str(tmp_path / "gate.json"))
+
+    def fake_probe():
+        # raises TracerArrayConversionError if executed inside the trace
+        return bool(float(np.asarray(jnp.ones(()))))
+
+    monkeypatch.setattr(rg, "_probe", fake_probe)
+    rg._reset_for_tests()
+    seen = {}
+    try:
+        @jax.jit
+        def step(x):
+            seen["verdict"] = rg.use_fused_dw()
+            return x
+
+        step(jnp.ones(()))
+    finally:
+        rg._reset_for_tests()
+    assert seen["verdict"] is True
