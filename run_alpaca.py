@@ -94,6 +94,10 @@ def parse_args():
                         "(minimum memory, the single-chip 7B choice); "
                         "'dots' = keep matmul outputs, recompute only "
                         "elementwise work (faster when memory allows)")
+    p.add_argument("--loss_chunk", default=0, type=int,
+                   help="compute the CE loss in token chunks of this size "
+                        "so full (B,T,V) logits are never materialised "
+                        "(0 = off; 1024 is a good TPU value)")
     p.add_argument("--temperature", default=None, type=float)
     p.add_argument("--top_p", default=None, type=float)
     p.add_argument("--top_k", default=None, type=int)
@@ -156,6 +160,9 @@ def build_model(args, peft_config):
         from sparse_matrix_fine_tuning_tpu.quant import quantize_lm_head
         if quantize_lm_head(model):
             print("[alpaca] quantized lm_head to int8")
+    if getattr(args, "loss_chunk", 0):
+        import dataclasses as _dc
+        model.config = _dc.replace(model.config, loss_chunk=args.loss_chunk)
     param_stats(model)
     return model
 
@@ -284,6 +291,14 @@ def main():
                          for k, v in eval_data.items()}
 
     def lm_loss(model, batch, train):
+        if hasattr(model, "training_loss"):
+            # fused forward+CE; chunked (never materialises full logits)
+            # when --loss_chunk > 0
+            return model.training_loss(
+                batch["input_ids"], batch["labels"],
+                attention_mask=batch["attention_mask"],
+                segment_ids=batch.get("segment_ids"),
+                weights=batch.get("_valid"))
         logits = model(batch["input_ids"], attention_mask=batch["attention_mask"],
                        segment_ids=batch.get("segment_ids"))
         return model.loss(logits, batch["labels"], weights=batch.get("_valid"))

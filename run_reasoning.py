@@ -91,6 +91,10 @@ def parse_args():
                    help="what remat saves: 'nothing' = full recompute "
                         "(minimum memory); 'dots' = keep matmul outputs "
                         "(faster when memory allows)")
+    p.add_argument("--loss_chunk", default=0, type=int,
+                   help="compute the CE loss in token chunks of this size "
+                        "so full (B,T,V) logits are never materialised "
+                        "(0 = off; 1024 is a good TPU value)")
     p.add_argument("--smoke", default=False, type=eval)
     p.add_argument("--output_dir", default="results/reasoning")
     p.add_argument("--logging_steps", default=10, type=int)
@@ -145,6 +149,9 @@ def build_model(args, peft_config):
         model = get_reft_model(model, ReftConfig(representations=reps),
                                rngs=nnx.Rngs(args.seed + 2))
         print(f"[reasoning] ReFT {args.intervention_type} on layers {layers}")
+    if getattr(args, "loss_chunk", 0) and hasattr(model, "config"):
+        import dataclasses as _dc
+        model.config = _dc.replace(model.config, loss_chunk=args.loss_chunk)
     param_stats(model)
     return model
 
@@ -345,6 +352,15 @@ def main():
             kw["intervention_locations"] = batch["intervention_locations"]
         if "segment_ids" in batch:
             kw["segment_ids"] = batch["segment_ids"]
+        if "intervention_locations" not in batch and hasattr(model, "training_loss"):
+            # fused forward+CE; chunked (never materialises full logits)
+            # when --loss_chunk > 0.  ReFT models route through their own
+            # intervened forward instead.
+            return model.training_loss(
+                batch["input_ids"], batch["labels"],
+                attention_mask=batch["attention_mask"],
+                segment_ids=batch.get("segment_ids"),
+                weights=batch.get("_valid"))
         logits = model(batch["input_ids"], attention_mask=batch["attention_mask"], **kw)
         return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
 

@@ -126,6 +126,12 @@ class LlamaConfig:
     #                 ~2N recompute FLOPs -- the right default whenever the
     #                 model is not memory-bound on one chip.
     remat_policy: str = "nothing"
+    # chunked cross-entropy (ops/losses.py): compute the training loss in
+    # token chunks of this size so the full (B, T, V) float32 logits tensor
+    # is never materialised (backward recomputes each chunk's logits).
+    # 0 disables (materialised HF-style loss).  Only affects
+    # ``training_loss``; ``__call__`` still returns full logits.
+    loss_chunk: int = 0
 
     @property
     def kv_heads(self) -> int:

@@ -49,6 +49,8 @@ class GPT2Config:
     tie_word_embeddings: bool = True
     dtype: Optional[str] = None       # compute dtype; params stay f32
     param_dtype: str = "float32"
+    # chunked cross-entropy (ops/losses.py); 0 = materialised loss
+    loss_chunk: int = 0
 
     @property
     def inner(self) -> int:

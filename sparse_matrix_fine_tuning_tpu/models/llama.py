@@ -368,6 +368,24 @@ class LlamaForCausalLM(nnx.Module):
         out = self.logits(hidden)
         return (out, new_caches) if caches is not None else out
 
+    def training_loss(self, input_ids, labels, attention_mask=None,
+                      positions=None, layer_hooks=None, segment_ids=None,
+                      weights: Array | None = None,
+                      ignore_index: int = -100) -> Array:
+        """Forward + shifted CE in one call.  When ``config.loss_chunk > 0``
+        the loss is computed chunk-by-chunk over tokens (ops/losses.py) and
+        the full (B, T, V) logits tensor is never materialised — strictly
+        less peak memory and HBM traffic than ``loss(self(...), labels)``,
+        with identical numerics (fp32 logsumexp).  Harness loss_fns call
+        this; ``__call__`` keeps returning full logits for eval/decoding."""
+        from sparse_matrix_fine_tuning_tpu.ops.losses import (
+            model_training_loss)
+        return model_training_loss(
+            self, input_ids, labels, attention_mask=attention_mask,
+            positions=positions, layer_hooks=layer_hooks,
+            segment_ids=segment_ids, weights=weights,
+            ignore_index=ignore_index)
+
     def loss(self, logits: Array, labels: Array, ignore_index: int = -100,
              weights: Array | None = None) -> Array:
         """Shifted causal-LM cross-entropy with IGNORE_INDEX masking

@@ -148,8 +148,13 @@ class Trainer:
         kwargs = {}
         if "attention_mask" in batch:
             kwargs["attention_mask"] = batch["attention_mask"]
-        logits = model(batch["input_ids"], **kwargs)
         lkw = {"weights": batch["_valid"]} if "_valid" in batch else {}
+        if hasattr(model, "training_loss"):
+            # causal-LM fused forward+CE (chunked when config.loss_chunk>0,
+            # ops/losses.py: full logits never materialised)
+            return model.training_loss(batch["input_ids"], batch["labels"],
+                                       **kwargs, **lkw)
+        logits = model(batch["input_ids"], **kwargs)
         return model.loss(logits, batch["labels"], **lkw)
 
     def _n_examples(self, data):
