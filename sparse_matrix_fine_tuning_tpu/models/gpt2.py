@@ -291,6 +291,19 @@ class GPT2LMHeadModel(nnx.Module):
         out = self.logits(hidden)
         return (out, new_caches) if caches is not None else out
 
+    def training_loss(self, input_ids, labels, attention_mask=None,
+                      positions=None, layer_hooks=None, segment_ids=None,
+                      weights=None, ignore_index: int = -100):
+        """Forward + shifted CE (chunked when ``config.loss_chunk > 0`` --
+        ops/losses.py: full logits never materialised)."""
+        from sparse_matrix_fine_tuning_tpu.ops.losses import (
+            model_training_loss)
+        return model_training_loss(
+            self, input_ids, labels, attention_mask=attention_mask,
+            positions=positions, layer_hooks=layer_hooks,
+            segment_ids=segment_ids, weights=weights,
+            ignore_index=ignore_index)
+
     def loss(self, logits: Array, labels: Array, ignore_index: int = -100,
              weights: Array | None = None) -> Array:
         shift_logits = logits[:, :-1].astype(jnp.float32)

@@ -52,6 +52,8 @@ class GPTNeoXConfig:
     tie_word_embeddings: bool = False
     dtype: Optional[str] = None
     param_dtype: str = "float32"
+    # chunked cross-entropy (ops/losses.py); 0 = materialised loss
+    loss_chunk: int = 0
 
     @property
     def kv_heads(self) -> int:
@@ -289,14 +291,30 @@ class GPTNeoXForCausalLM(nnx.Module):
     def model(self):
         return self.gpt_neox
 
+    def logits(self, hidden: Array) -> Array:
+        return self.embed_out(hidden)
+
     def __call__(self, input_ids, attention_mask=None, positions=None,
                  caches=None, cache_index=None, layer_hooks=None,
                  segment_ids=None):
         hidden, new_caches = self.gpt_neox(
             input_ids, attention_mask, positions, caches, cache_index,
             layer_hooks=layer_hooks, segment_ids=segment_ids)
-        out = self.embed_out(hidden)
+        out = self.logits(hidden)
         return (out, new_caches) if caches is not None else out
+
+    def training_loss(self, input_ids, labels, attention_mask=None,
+                      positions=None, layer_hooks=None, segment_ids=None,
+                      weights=None, ignore_index: int = -100):
+        """Forward + shifted CE (chunked when ``config.loss_chunk > 0`` --
+        ops/losses.py: full logits never materialised)."""
+        from sparse_matrix_fine_tuning_tpu.ops.losses import (
+            model_training_loss)
+        return model_training_loss(
+            self, input_ids, labels, attention_mask=attention_mask,
+            positions=positions, layer_hooks=layer_hooks,
+            segment_ids=segment_ids, weights=weights,
+            ignore_index=ignore_index)
 
     def loss(self, logits: Array, labels: Array, ignore_index: int = -100,
              weights: Array | None = None) -> Array:

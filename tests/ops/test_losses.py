@@ -93,3 +93,30 @@ def test_all_masked_rows_safe():
     got = chunked_causal_lm_loss(hidden, model.logits, labels, chunk_size=8)
     assert np.isfinite(np.asarray(got))
     assert np.asarray(got) == 0.0
+
+
+@pytest.mark.parametrize("family", ["gpt2", "gpt_neo", "gpt_neox"])
+def test_gpt_families_training_loss(family):
+    """training_loss (incl. chunked) matches the materialised loss on the
+    GPT-2 sibling families too."""
+    if family == "gpt2":
+        from sparse_matrix_fine_tuning_tpu.models.gpt2 import (
+            GPT2Config as Cfg, GPT2LMHeadModel as Cls)
+    elif family == "gpt_neo":
+        from sparse_matrix_fine_tuning_tpu.models.gpt_neo import (
+            GPTNeoConfig as Cfg, GPTNeoForCausalLM as Cls)
+    else:
+        from sparse_matrix_fine_tuning_tpu.models.gpt_neox import (
+            GPTNeoXConfig as Cfg, GPTNeoXForCausalLM as Cls)
+    cfg = Cfg.tiny(loss_chunk=8) if hasattr(Cfg, "tiny") else Cfg(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, loss_chunk=8)
+    model = Cls(cfg, rngs=nnx.Rngs(0))
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 17)).astype(np.int32))
+    labels = ids.at[:, :5].set(-100)
+    mask = jnp.ones_like(ids)
+    ref = model.loss(model(ids, attention_mask=mask), labels)
+    got = model.training_loss(ids, labels, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
