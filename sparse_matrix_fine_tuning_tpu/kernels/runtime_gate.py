@@ -16,6 +16,11 @@ fused kernel on THIS runtime?":
 
   * env ``SMFT_PALLAS_DW=on|off`` forces the answer (no probe);
   * non-TPU backends answer False (the kernel needs Mosaic);
+  * runtimes we have measured end-to-end answer from a SHIPPED verdict
+    table keyed on the PJRT platform signature (``_MEASURED_VERDICTS``) --
+    crucially the tunnelled ``axon`` runtime, where the probe's two remote
+    compiles take ~10 minutes of wall clock (the same scheduling pathology
+    the verdict itself reports) and the answer is already known;
   * otherwise a ONE-TIME probe times both implementations inside the same
     ga-style scan harness the trainer uses (slope-timed via utils/benchlib,
     which cancels the fixed dispatch cost and defeats the tunnel's
@@ -40,6 +45,32 @@ import jax
 import jax.numpy as jnp
 
 _DECISION: Optional[bool] = None
+
+# Runtimes where the in-scan fused-vs-XLA comparison has been measured
+# end-to-end, keyed on (substring of PJRT platform_version, device_kind
+# prefix).  First match wins.
+#   - "axon" (tunnelled v5e): Pallas custom calls inside jitted scans pay
+#     ~175 us of layout/scheduling penalty, flipping the fused kernel's
+#     75-us standalone win into a +252-us in-context loss; XLA's block
+#     path wins (scripts/exp_dw_in_context.py, docs/BENCHMARKS.md
+#     "Merge-during-training").  The probe would also take ~10 min of
+#     remote compiles on this runtime, so shipping the verdict matters.
+_MEASURED_VERDICTS: tuple = (
+    ("axon", "TPU v5", False),
+)
+
+
+def _measured_verdict() -> Optional[bool]:
+    try:
+        dev = jax.devices()[0]
+        version = getattr(dev.client, "platform_version", "") or ""
+        kind = dev.device_kind
+    except Exception:  # noqa: BLE001 -- no devices: let the caller decide
+        return None
+    for marker, kind_prefix, verdict in _MEASURED_VERDICTS:
+        if marker in version and kind.startswith(kind_prefix):
+            return verdict
+    return None
 
 
 def _cache_key() -> str:
@@ -129,6 +160,10 @@ def use_fused_dw() -> bool:
     if jax.default_backend() != "tpu":
         _DECISION = False
         return False
+    measured = _measured_verdict()
+    if measured is not None:
+        _DECISION = measured
+        return measured
     path = _cache_path()
     try:
         with open(path) as f:

@@ -171,3 +171,31 @@ def test_runtime_gate_probe_inside_trace(monkeypatch, tmp_path):
     finally:
         rg._reset_for_tests()
     assert seen["verdict"] is True
+
+
+def test_runtime_gate_measured_verdict(monkeypatch, tmp_path):
+    """Runtimes in the shipped verdict table answer WITHOUT probing (the
+    tunnelled axon runtime's probe costs ~10 min of remote compiles)."""
+    from sparse_matrix_fine_tuning_tpu.kernels import runtime_gate as rg
+
+    monkeypatch.setenv("SMFT_PALLAS_DW", "auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    class FakeClient:
+        platform_version = "PJRT C API\naxon 0.1.0; SerializedExecutable v9"
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+        client = FakeClient()
+
+    monkeypatch.setattr(jax, "devices", lambda *a: [FakeDev()])
+
+    def boom():
+        raise AssertionError("probe must not run on a measured runtime")
+
+    monkeypatch.setattr(rg, "_probe", boom)
+    rg._reset_for_tests()
+    try:
+        assert rg.use_fused_dw() is False
+    finally:
+        rg._reset_for_tests()
