@@ -115,7 +115,8 @@ def _data(cfg, n=16, t=16):
 
 def _lm_loss(model, batch, train):
     logits = model(batch["input_ids"], attention_mask=batch["attention_mask"])
-    return model.loss(logits, batch["labels"])
+    # _valid masks eval-batch pad rows (n < per_device_eval_batch_size)
+    return model.loss(logits, batch["labels"], weights=batch.get("_valid"))
 
 
 def _trainer(tmp_path, model, data, mesh, tag):
@@ -182,6 +183,39 @@ def test_tp_quantized_training_matches_replicated(tmp_path):
     e_tp = tr_tp.evaluate()["eval_loss"]
     np.testing.assert_allclose(e_tp, tr_plain.evaluate()["eval_loss"],
                                rtol=2e-4)
+    m_tp = tr_tp.train()
+    m_plain = tr_plain.train()
+    assert np.isfinite(m_tp["eval_loss"]) and m_tp["eval_loss"] < e_tp
+    np.testing.assert_allclose(m_tp["eval_loss"], m_plain["eval_loss"],
+                               rtol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_chunked_loss_matches_replicated(tmp_path):
+    """Chunked CE (ops/losses.py) under (dp2,fsdp2,tp2): the per-chunk
+    head matmul runs with a tp-sharded lm_head kernel and the scan's
+    token reshape crosses the dp-sharded batch dim; loss must match the
+    unsharded materialised run."""
+    import dataclasses
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    cfg, model = _flagship()
+    model.config = dataclasses.replace(model.config, loss_chunk=16)
+    data = _data(cfg)
+    # default Trainer loss routes through model.training_loss -> chunked
+    args = TrainingArgs(output_dir=str(tmp_path / "tp_chunk"),
+                        learning_rate=1e-3, max_steps=2,
+                        per_device_train_batch_size=8,
+                        logging_steps=0, log_param_steps=0)
+    tr_tp = Trainer(model, args, train_data=data, eval_data=data, mesh=mesh)
+
+    cfg2, model2 = _flagship()
+    tr_plain = _trainer(tmp_path, model2, data, None, "plain_mat")
+
+    e_tp = tr_tp.evaluate()["eval_loss"]
+    e_plain = tr_plain.evaluate()["eval_loss"]
+    np.testing.assert_allclose(e_tp, e_plain, rtol=2e-4)
+
     m_tp = tr_tp.train()
     m_plain = tr_plain.train()
     assert np.isfinite(m_tp["eval_loss"]) and m_tp["eval_loss"] < e_tp
