@@ -1,3 +1,7 @@
+from sparse_matrix_fine_tuning_tpu.models.backpack_gpt2 import (
+    BackpackGPT2Config,
+    BackpackGPT2LMHeadModel,
+)
 from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig, RobertaConfig
 from sparse_matrix_fine_tuning_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
 from sparse_matrix_fine_tuning_tpu.models.gpt_neo import (
@@ -16,6 +20,8 @@ from sparse_matrix_fine_tuning_tpu.models.roberta import (
 from sparse_matrix_fine_tuning_tpu.models.toy import GRUModel, MLPModel, ToyConfig
 
 __all__ = [
+    "BackpackGPT2Config",
+    "BackpackGPT2LMHeadModel",
     "GPT2Config",
     "GPT2LMHeadModel",
     "GPTNeoConfig",

@@ -51,6 +51,11 @@ class GPT2Config:
     param_dtype: str = "float32"
     # chunked cross-entropy (ops/losses.py); 0 = materialised loss
     loss_chunk: int = 0
+    # HF GPT2Config.scale_attn_by_inverse_layer_idx: additionally divide
+    # attention scores by (layer_idx + 1).  Off for stock GPT-2; the
+    # Backpack-GPT-2 checkpoints train with it on (reference
+    # modelings_backpack_gpt2.py:45).
+    scale_attn_by_inverse_layer_idx: bool = False
 
     @property
     def inner(self) -> int:
@@ -111,10 +116,13 @@ class GPT2Attention(nnx.Module):
     GPT2Attention semantics: biased c_attn/c_proj, 1/sqrt(head_dim)
     scaling)."""
 
-    def __init__(self, cfg: GPT2Config, *, rngs: nnx.Rngs):
+    def __init__(self, cfg: GPT2Config, *, rngs: nnx.Rngs, layer_idx: int = 0):
         self.cfg = cfg
         self.num_heads = cfg.num_attention_heads
         self.head_dim = cfg.head_width
+        self.score_scale = 1.0 / math.sqrt(cfg.head_width)
+        if cfg.scale_attn_by_inverse_layer_idx:
+            self.score_scale /= float(layer_idx + 1)
         self.c_attn = _linear(cfg.hidden_size, 3 * cfg.hidden_size, rngs, cfg)
         self.c_proj = _linear(cfg.hidden_size, cfg.hidden_size, rngs, cfg)
 
@@ -135,7 +143,7 @@ class GPT2Attention(nnx.Module):
         else:
             new_cache = None
 
-        scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(self.head_dim)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) * self.score_scale
         scores = scores + attn_bias
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, -1)
@@ -154,9 +162,9 @@ class GPT2MLP(nnx.Module):
 
 
 class GPT2Block(nnx.Module):
-    def __init__(self, cfg: GPT2Config, *, rngs: nnx.Rngs):
+    def __init__(self, cfg: GPT2Config, *, rngs: nnx.Rngs, layer_idx: int = 0):
         self.ln_1 = _ln(cfg, rngs)
-        self.attn = GPT2Attention(cfg, rngs=rngs)
+        self.attn = GPT2Attention(cfg, rngs=rngs, layer_idx=layer_idx)
         self.ln_2 = _ln(cfg, rngs)
         self.mlp = GPT2MLP(cfg, rngs=rngs)
 
@@ -192,8 +200,8 @@ class GPT2Model(nnx.Module):
                              param_dtype=cfg.params_dtype,
                              embedding_init=nnx.initializers.normal(stddev=0.01),
                              rngs=rngs)
-        self.h = nnx.List([GPT2Block(cfg, rngs=rngs)
-                           for _ in range(cfg.num_hidden_layers)])
+        self.h = nnx.List([GPT2Block(cfg, rngs=rngs, layer_idx=i)
+                           for i in range(cfg.num_hidden_layers)])
         self.ln_f = _ln(cfg, rngs)
 
     # same hook-key split as LlamaModel._split_hooks (models/llama.py:209)

@@ -11,6 +11,7 @@ checkpoint directory (pytorch_model.bin / model.safetensors).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Dict
 
@@ -281,6 +282,8 @@ def gpt2_config_from_hf(hf: Dict, **overrides):
         layer_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
         bos_token_id=hf.get("bos_token_id", 50256),
         eos_token_id=hf.get("eos_token_id", 50256),
+        scale_attn_by_inverse_layer_idx=hf.get(
+            "scale_attn_by_inverse_layer_idx", False),
     )
     kw["pad_token_id"] = hf.get("pad_token_id") or kw["eos_token_id"]
     kw.update(overrides)
@@ -321,6 +324,73 @@ def from_pretrained_gpt2(path: str, dtype=None, *, rngs=None):
     return model
 
 
+def backpack_gpt2_config_from_hf(hf: Dict, **overrides):
+    """Map a Backpack-GPT-2 ``config.json`` (GPT-2 naming + num_senses /
+    sense_intermediate_scale) onto a BackpackGPT2Config."""
+    from sparse_matrix_fine_tuning_tpu.models.backpack_gpt2 import (
+        BackpackGPT2Config)
+    base = gpt2_config_from_hf(hf)
+    kw = {f.name: getattr(base, f.name)
+          for f in dataclasses.fields(base)}
+    kw.update(
+        num_senses=hf.get("num_senses", 16),
+        sense_intermediate_scale=hf.get("sense_intermediate_scale", 4),
+        scale_attn_by_inverse_layer_idx=hf.get(
+            "scale_attn_by_inverse_layer_idx", True),
+    )
+    kw.update(overrides)
+    return BackpackGPT2Config(**kw)
+
+
+def load_backpack_gpt2(model, state_dict: Dict) -> None:
+    """Populate a BackpackGPT2LMHeadModel from the reference Backpack state
+    dict (modelings_backpack_gpt2.py key layout: ``backpack.gpt2_model.*``
+    GPT-2 body, ``backpack.sense_network.*`` / ``backpack.sense_weight_net.*``
+    heads; lm_head / word_embeddings are tied aliases of wte, never read)."""
+    sd = state_dict
+    bp = model.backpack
+    gpt2 = bp.gpt2_model
+    _set_embed(gpt2.wte, sd, "backpack.gpt2_model.wte.weight")
+    _set_embed(gpt2.wpe, sd, "backpack.gpt2_model.wpe.weight")
+    for i, blk in enumerate(gpt2.h):
+        p = f"backpack.gpt2_model.h.{i}"
+        _set_ln(blk.ln_1, sd, f"{p}.ln_1")
+        _set_conv1d(blk.attn.c_attn, sd, f"{p}.attn.c_attn")
+        _set_conv1d(blk.attn.c_proj, sd, f"{p}.attn.c_proj")
+        _set_ln(blk.ln_2, sd, f"{p}.ln_2")
+        _set_conv1d(blk.mlp.c_fc, sd, f"{p}.mlp.c_fc")
+        _set_conv1d(blk.mlp.c_proj, sd, f"{p}.mlp.c_proj")
+    _set_ln(gpt2.ln_f, sd, "backpack.gpt2_model.ln_f")
+    sn = bp.sense_network
+    _set_ln(sn.ln, sd, "backpack.sense_network.ln")
+    _set_ln(sn.block.ln_1, sd, "backpack.sense_network.block.ln_1")
+    _set_ln(sn.block.ln_2, sd, "backpack.sense_network.block.ln_2")
+    _set_conv1d(sn.block.mlp.c_fc, sd, "backpack.sense_network.block.mlp.c_fc")
+    _set_conv1d(sn.block.mlp.c_proj, sd,
+                "backpack.sense_network.block.mlp.c_proj")
+    _set_conv1d(sn.final_mlp.c_fc, sd, "backpack.sense_network.final_mlp.c_fc")
+    _set_conv1d(sn.final_mlp.c_proj, sd,
+                "backpack.sense_network.final_mlp.c_proj")
+    # sense_weight_net.c_attn is an nn.Linear in the reference (the one
+    # non-Conv1D projection), so it DOES transpose
+    _set_linear(bp.sense_weight_net.c_attn, sd,
+                "backpack.sense_weight_net.c_attn")
+
+
+def from_pretrained_backpack_gpt2(path: str, dtype=None, *, rngs=None):
+    """Build + load a BackpackGPT2LMHeadModel from a local checkpoint dir."""
+    import json
+    from flax import nnx
+    from sparse_matrix_fine_tuning_tpu.models.backpack_gpt2 import (
+        BackpackGPT2LMHeadModel)
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = backpack_gpt2_config_from_hf(hf, dtype=dtype)
+    model = BackpackGPT2LMHeadModel(cfg, rngs=rngs or nnx.Rngs(0))
+    load_backpack_gpt2(model, load_state_dict(path))
+    return model
+
+
 def from_pretrained_causal_lm(path: str, dtype="bfloat16", *, rngs=None,
                               remat: bool = False,
                               remat_policy: str = "nothing",
@@ -334,6 +404,10 @@ def from_pretrained_causal_lm(path: str, dtype="bfloat16", *, rngs=None,
     import json
     with open(os.path.join(path, "config.json")) as f:
         hf = json.load(f)
+    if any("Backpack" in a for a in hf.get("architectures") or []):
+        # Backpack configs keep model_type "gpt2" (the config class inherits
+        # GPT2Config); the architectures list is the discriminator
+        return from_pretrained_backpack_gpt2(path, dtype=dtype, rngs=rngs)
     if hf.get("model_type") == "gpt2":
         return from_pretrained_gpt2(path, dtype=dtype, rngs=rngs)
     if hf.get("model_type") == "gpt_neox":

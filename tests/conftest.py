@@ -56,6 +56,7 @@ _SLOW_PATTERNS = (
     "test_greedy_penalty_with_padding_matches_hf",
     "tests/models/test_hf_parity.py",
     "tests/models/test_gpt2.py",
+    "tests/models/test_backpack_gpt2.py",
     "tests/models/test_gpt_neox.py",
     "tests/models/test_gpt_neo.py",
     "tests/models/test_training_parity.py",
