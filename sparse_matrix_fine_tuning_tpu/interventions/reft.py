@@ -572,6 +572,23 @@ def _chain(prev, fn):
     return lambda x: fn(prev(x))
 
 
+def _lift_over_senses(iv, locs, src, sub):
+    """Lift a token-position intervention over the Backpack sense axis:
+    the ``sense_network_output`` site tensor is (b, nv, s, d)
+    (models/backpack_gpt2.py, pyvene's one Backpack anchor --
+    modelings_intervenable_backpack_gpt2.py:14-16), and the intervention
+    applies to every sense's (b, s, d) slice at the same token positions;
+    sources collected at this site are (b, nv, p, d)."""
+    bound = _bind_subspaces(iv, sub)
+    if src is None:
+        return lambda x: jax.vmap(
+            lambda xs: apply_at_positions(xs, locs, bound),
+            in_axes=1, out_axes=1)(x)
+    return lambda x: jax.vmap(
+        lambda xs, ss: apply_at_positions(xs, locs, bound, source=ss),
+        in_axes=1, out_axes=1)(x, src)
+
+
 def gather_positions(x: Array, locations: Array) -> Array:
     """(b, t, d) gathered at (b, p) positions -> (b, p, d); -1 pads map to
     position 0 (pyvene gather_neurons, reference modeling_utils.py:230)."""
@@ -630,7 +647,13 @@ class ReftModel(nnx.Module):
     def _key(self, i):
         layer = self.intervention_layers[i]
         comp = self.intervention_components[i]
-        return layer if comp == "block_output" else (layer, comp)
+        if comp == "block_output":
+            return layer
+        if comp == "sense_network_output":
+            # Backpack anchor: a model-level site (no layer), keyed by the
+            # bare component string the model's layer_hooks contract uses
+            return comp
+        return (layer, comp)
 
     def _locs(self, intervention_locations, i):
         return intervention_locations[
@@ -655,10 +678,14 @@ class ReftModel(nnx.Module):
                     self._add_skip_hooks(hooks, iv, i, locs, sub))
                 continue
             src = (sources or {}).get(i)
-            fn = (lambda iv, locs, src, sub:
-                  lambda x: apply_at_positions(x, locs, _bind_subspaces(iv, sub),
-                                               source=src)
-                  )(iv, locs, src, sub)
+            if self.intervention_components[i] == "sense_network_output":
+                fn = _lift_over_senses(iv, locs, src, sub)
+            else:
+                fn = (lambda iv, locs, src, sub:
+                      lambda x: apply_at_positions(x, locs,
+                                                   _bind_subspaces(iv, sub),
+                                                   source=src)
+                      )(iv, locs, src, sub)
             prev = hooks.get(self._key(i))
             hooks[self._key(i)] = fn if prev is None else _chain(prev, fn)
         # Skip captures chain LAST at their site, after every edit hook
@@ -721,12 +748,19 @@ class ReftModel(nnx.Module):
         hooks = {}
         for i in range(len(self.interventions)):
             locs = self._locs(locations, i)
-            def make(i, locs):
+            sense_site = (self.intervention_components[i]
+                          == "sense_network_output")
+            def make(i, locs, sense_site):
                 def fn(x):
-                    collected[i] = gather_positions(x, locs)
+                    if sense_site:  # (b, nv, s, d) -> (b, nv, p, d)
+                        collected[i] = jax.vmap(
+                            lambda xs: gather_positions(xs, locs),
+                            in_axes=1, out_axes=1)(x)
+                    else:
+                        collected[i] = gather_positions(x, locs)
                     return x
                 return fn
-            fn = make(i, locs)
+            fn = make(i, locs, sense_site)
             prev = hooks.get(self._key(i))
             hooks[self._key(i)] = fn if prev is None else _chain(prev, fn)
         self.model(input_ids, attention_mask=attention_mask,

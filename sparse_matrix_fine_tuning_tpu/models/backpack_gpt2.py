@@ -33,6 +33,7 @@ from flax import nnx
 
 from sparse_matrix_fine_tuning_tpu.models.gpt2 import (
     GPT2Config,
+    GPT2LMHeadModel,
     GPT2Model,
     _linear,
     _ln,
@@ -217,3 +218,11 @@ class BackpackGPT2LMHeadModel(nnx.Module):
         hidden, ctx = self.backpack.run_with_custom_contextualization(
             input_ids, contextualization, layer_hooks=layer_hooks)
         return self.logits(hidden), ctx
+
+    # shifted-CE loss shared with the GPT-2 head (the method is self-free)
+    loss = GPT2LMHeadModel.loss
+
+    def training_loss(self, input_ids, labels, ignore_index: int = -100,
+                      **kw):
+        return self.loss(self(input_ids, **kw), labels,
+                         ignore_index=ignore_index)

@@ -140,3 +140,37 @@ def test_backpack_checkpoint_dir_roundtrip(tmp_path, pair):
                          position_ids=torch.tensor(pos)).logits.numpy()
     got = model(jnp.asarray(ids), positions=jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-3, atol=3e-3)
+
+
+def test_backpack_monarch_surgery_and_grads():
+    """init_monarch reaches the Backpack body's HF-named linears (the GPT-2
+    c_attn/c_fc plus the sense-network MLP c_fc) -- zero-init preserves the
+    forward, grads reach the injected factors through the contextualization
+    product."""
+    import jax
+    from sparse_matrix_fine_tuning_tpu.peft.surgery import init_monarch
+
+    cfg = BackpackGPT2Config.tiny()
+    model = BackpackGPT2LMHeadModel(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, cfg.vocab_size)
+    before = model(ids)
+    adapted = init_monarch(
+        model, {"nblocks": 4, "blk_r": 2, "adapter": True,
+                "target_modules": ["c_attn", "c_fc"]}, rngs=nnx.Rngs(1))
+    # GPT-2 body: c_attn + c_fc per block; sense network: 2 MLP c_fc;
+    # weight net: c_attn
+    assert len(adapted) == 2 * cfg.num_hidden_layers + 3
+    np.testing.assert_allclose(np.asarray(before), np.asarray(model(ids)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fn(m):
+        return m.loss(m(ids), ids)
+
+    loss, grads = nnx.value_and_grad(loss_fn)(model)
+    assert jnp.isfinite(loss)
+    gflat = {"/".join(map(str, p)): g
+             for p, g in nnx.state(grads).flat_state()}
+    sense_blk2 = [v for k, v in gflat.items()
+                  if "sense_network" in k and "blkdiag2" in k]
+    assert sense_blk2 and any(float(jnp.abs(g[...]).max()) > 0
+                              for g in sense_blk2)
