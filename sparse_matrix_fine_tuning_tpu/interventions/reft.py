@@ -577,8 +577,15 @@ def _lift_over_senses(iv, locs, src, sub):
     the ``sense_network_output`` site tensor is (b, nv, s, d)
     (models/backpack_gpt2.py, pyvene's one Backpack anchor --
     modelings_intervenable_backpack_gpt2.py:14-16), and the intervention
-    applies to every sense's (b, s, d) slice at the same token positions;
-    sources collected at this site are (b, nv, p, d)."""
+    applies to EVERY sense's (b, s, d) slice at the same token positions;
+    sources collected at this site are (b, nv, p, d).
+
+    Semantic note vs upstream: pyvene's canonical Backpack demo
+    (pyvene_101.ipynb) targets a single (sense, position) pair via its
+    "sense.pos" unit; ReftModel's location machinery expresses token
+    positions only, so this site intervenes on all senses at those
+    positions.  Per-sense targeting remains available via a hand-written
+    ``layer_hooks["sense_network_output"]`` fn that slices the nv axis."""
     bound = _bind_subspaces(iv, sub)
     if src is None:
         return lambda x: jax.vmap(
@@ -743,7 +750,8 @@ class ReftModel(nnx.Module):
         """Run a forward and gather each intervention site's activations at
         ``locations`` (b, num_interventions, p) -- pyvene's Collect /
         source pass (reference intervenable_base.py source handling).
-        Returns {i: (b, p, d)}."""
+        Returns {i: (b, p, d)}; Backpack ``sense_network_output`` sites
+        return the sense-axis form {i: (b, nv, p, d)}."""
         collected = {}
         hooks = {}
         for i in range(len(self.interventions)):

@@ -126,7 +126,8 @@ class BackpackWeightNetwork(nnx.Module):
             cfg.hidden_size, 2 * cfg.num_senses * self.embed_per_sense,
             rngs, cfg)
 
-    def __call__(self, encoded: Array) -> Array:
+    def __call__(self, encoded: Array,
+                 attention_mask: Array | None = None) -> Array:
         b, s, _ = encoded.shape
         qk = self.c_attn(encoded).reshape(
             b, s, 2, self.num_senses, self.embed_per_sense)
@@ -135,7 +136,14 @@ class BackpackWeightNetwork(nnx.Module):
         scores = jnp.einsum("bthd,bshd->bhts", q, k * scale)
         # the reference masks with an additive -10000 triu, not -inf
         causal = jnp.triu(jnp.full((s, s), -10000.0, scores.dtype), 1)
-        return jax.nn.softmax(scores + causal[None, None], axis=-1)
+        bias = causal[None, None]
+        if attention_mask is not None:
+            # pad keys get the same additive -10000 as future positions (the
+            # reference forward takes no mask; this extends it so padded
+            # batches don't attend to pad tokens)
+            pad = (1.0 - attention_mask.astype(scores.dtype)) * -10000.0
+            bias = bias + pad[:, None, None, :]
+        return jax.nn.softmax(scores + bias, axis=-1)
 
 
 class BackpackGPT2Model(nnx.Module):
@@ -164,14 +172,20 @@ class BackpackGPT2Model(nnx.Module):
             senses = layer_hooks["sense_network_output"](senses)
         return senses
 
-    def __call__(self, input_ids: Array, positions: Array | None = None,
-                 layer_hooks=None):
+    def __call__(self, input_ids: Array, attention_mask: Array | None = None,
+                 positions: Array | None = None, layer_hooks=None,
+                 segment_ids=None):
+        if segment_ids is not None:
+            raise NotImplementedError(
+                "BackpackGPT2Model does not support packed segments: the "
+                "sense-weight network attends across the whole sequence")
         senses = self.senses(input_ids, layer_hooks)
         gpt2_hooks = dict(layer_hooks or {})
         gpt2_hooks.pop("sense_network_output", None)
-        contextl, _ = self.gpt2_model(input_ids, positions=positions,
+        contextl, _ = self.gpt2_model(input_ids, attention_mask,
+                                      positions=positions,
                                       layer_hooks=gpt2_hooks or None)
-        contextualization = self.sense_weight_net(contextl)
+        contextualization = self.sense_weight_net(contextl, attention_mask)
         hidden = jnp.einsum("bhts,bhsd->bthd", contextualization,
                             senses).sum(axis=2)
         return hidden, contextualization
@@ -203,15 +217,23 @@ class BackpackGPT2LMHeadModel(nnx.Module):
         emb = self.backpack.wte.embedding[...]
         return hidden @ emb.T.astype(hidden.dtype)
 
-    def forward_with_contextualization(self, input_ids, positions=None,
-                                       layer_hooks=None):
-        hidden, ctx = self.backpack(input_ids, positions=positions,
+    def forward_with_contextualization(self, input_ids, attention_mask=None,
+                                       positions=None, layer_hooks=None):
+        hidden, ctx = self.backpack(input_ids, attention_mask,
+                                    positions=positions,
                                     layer_hooks=layer_hooks)
         return self.logits(hidden), ctx
 
-    def __call__(self, input_ids, positions=None, layer_hooks=None, **_):
+    def __call__(self, input_ids, attention_mask=None, positions=None,
+                 layer_hooks=None, segment_ids=None):
+        # explicit signature: unsupported kwargs fail loudly (the reference
+        # model raises TypeError on unexpected args too)
+        if segment_ids is not None:
+            raise NotImplementedError(
+                "BackpackGPT2LMHeadModel does not support packed segments")
         return self.forward_with_contextualization(
-            input_ids, positions=positions, layer_hooks=layer_hooks)[0]
+            input_ids, attention_mask=attention_mask, positions=positions,
+            layer_hooks=layer_hooks)[0]
 
     def run_with_custom_contextualization(self, input_ids, contextualization,
                                           layer_hooks=None):
@@ -222,7 +244,17 @@ class BackpackGPT2LMHeadModel(nnx.Module):
     # shifted-CE loss shared with the GPT-2 head (the method is self-free)
     loss = GPT2LMHeadModel.loss
 
-    def training_loss(self, input_ids, labels, ignore_index: int = -100,
-                      **kw):
-        return self.loss(self(input_ids, **kw), labels,
-                         ignore_index=ignore_index)
+    def training_loss(self, input_ids, labels, attention_mask=None,
+                      positions=None, layer_hooks=None, segment_ids=None,
+                      weights=None, ignore_index: int = -100):
+        """Forward + shifted CE via the shared causal-LM body
+        (ops/losses.model_training_loss): chunked when
+        ``config.loss_chunk > 0`` and the Trainer's pad-row ``weights``
+        mask is honored (padded batches drop pad rows from the loss)."""
+        from sparse_matrix_fine_tuning_tpu.ops.losses import (
+            model_training_loss)
+        return model_training_loss(
+            self, input_ids, labels, attention_mask=attention_mask,
+            positions=positions, layer_hooks=layer_hooks,
+            segment_ids=segment_ids, weights=weights,
+            ignore_index=ignore_index)

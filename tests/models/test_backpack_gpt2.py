@@ -174,3 +174,28 @@ def test_backpack_monarch_surgery_and_grads():
                   if "sense_network" in k and "blkdiag2" in k]
     assert sense_blk2 and any(float(jnp.abs(g[...]).max()) > 0
                               for g in sense_blk2)
+
+
+def test_backpack_training_loss_honors_pad_row_weights():
+    """Regression: training_loss must thread the Trainer's pad-row weight
+    mask (trainer.py _default_loss passes weights=batch["_valid"]) through
+    to the shifted-CE loss instead of silently dropping it."""
+    import jax
+
+    cfg = BackpackGPT2Config.tiny()
+    model = BackpackGPT2LMHeadModel(cfg, rngs=nnx.Rngs(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (3, 8), 0, cfg.vocab_size)
+    weights = jnp.array([1.0, 1.0, 0.0])  # row 2 is a pad row
+
+    weighted = model.training_loss(ids, ids, weights=weights)
+    unweighted = model.training_loss(ids, ids)
+    # loss over the 2 valid rows only == training_loss on the sliced batch
+    want = model.training_loss(ids[:2], ids[:2])
+    np.testing.assert_allclose(np.asarray(weighted), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    assert abs(float(weighted) - float(unweighted)) > 1e-7
+
+    # unsupported kwargs fail loudly now (no silent **_ swallowing)
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        model(ids, not_a_kwarg=1)
