@@ -88,7 +88,7 @@ def measure(bits, quant_lm_head=False):
 def main():
     out = []
     for bits, qlm in ((0, False), (8, False), (8, "dequant"),
-                      (8, "w8a8"), (4, False)):
+                      (8, "w8a8"), (4, False), (4, "w8a8")):
         try:
             rec = measure(bits, qlm)
         except Exception as e:  # noqa: BLE001

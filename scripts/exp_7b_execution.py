@@ -29,7 +29,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-BT, T = 1, 256  # bs x seq of the round-2 3.3B int4 measurement
+# bs x seq: round-2/3 boundary runs used 1 x 256; the flagship-throughput
+# config (round 5) scales both to fill the MXU -- the state_split plan
+# left ~10 GB of HBM idle at bs1 x seq256 (VERDICT r4 #1)
+BT = int(os.environ.get("BS", "1"))
+T = int(os.environ.get("SEQ", "256"))
+STEPS = int(os.environ.get("STEPS", "4"))
 
 
 def run_one(layers: int, hidden: int, inter: int,
@@ -118,7 +123,7 @@ def run_one(layers: int, hidden: int, inter: int,
             return val, new_rest
 
         losses, times = [], []
-        for i in range(4):
+        for i in range(STEPS):
             t0 = time.time()
             v, rest = step(static_state, rest, ids)
             v = float(v)
@@ -128,6 +133,7 @@ def run_one(layers: int, hidden: int, inter: int,
         print(json.dumps({
             "layers": layers, "hidden": hidden, "inter": inter,
             "quant_host": quant_host, "remat_policy": remat_policy,
+            "bs": BT, "seq": T,
             "params_b": round(total / 1e9, 2), "executed": True,
             "ms_per_step": round(ms, 1),
             "tokens_per_s": round(BT * T / (ms / 1e3), 1),

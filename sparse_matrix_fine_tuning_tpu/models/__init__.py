@@ -2,6 +2,13 @@ from sparse_matrix_fine_tuning_tpu.models.backpack_gpt2 import (
     BackpackGPT2Config,
     BackpackGPT2LMHeadModel,
 )
+from sparse_matrix_fine_tuning_tpu.models.blip import (
+    BlipForImageTextRetrieval,
+    BlipForQuestionAnswering,
+    BlipITMWrapper,
+    BlipModelConfig,
+    BlipWrapper,
+)
 from sparse_matrix_fine_tuning_tpu.models.config import LlamaConfig, RobertaConfig
 from sparse_matrix_fine_tuning_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
 from sparse_matrix_fine_tuning_tpu.models.gpt_neo import (
@@ -22,6 +29,11 @@ from sparse_matrix_fine_tuning_tpu.models.toy import GRUModel, MLPModel, ToyConf
 __all__ = [
     "BackpackGPT2Config",
     "BackpackGPT2LMHeadModel",
+    "BlipForImageTextRetrieval",
+    "BlipForQuestionAnswering",
+    "BlipITMWrapper",
+    "BlipModelConfig",
+    "BlipWrapper",
     "GPT2Config",
     "GPT2LMHeadModel",
     "GPTNeoConfig",
