@@ -119,3 +119,32 @@ def test_lora_and_boft_baselines_run(tmp_path):
     r2 = _run(tmp_path, ["--num_train_epochs=2", "--monarch=False",
                          "--boft=True"], cfg_dir="boft_roberta_glue")
     assert "eval_matthews_correlation" in r2["cola"]
+
+
+@pytest.mark.slow
+def test_hpo_best_hp_reinjection_end_to_end(tmp_path):
+    """The tuned HPs must actually reach the final training run: after a
+    --do_tune sweep, a SECOND invocation without --do_tune in the same
+    output_dir loads best_hyperparams.json (utils/config.load_best_hp,
+    reference run_glue.py best-HP reuse) and trains with it -- asserted
+    through the final run's logged config."""
+    _run(tmp_path, ["--do_tune=True", "--n_trials=3", "--num_train_epochs=1",
+                    "--resume=True"])
+    run_dir = os.path.join(str(tmp_path), "cola")
+    best = json.load(open(os.path.join(run_dir, "best_hyperparams.json")))
+    assert "learning_rate" in best
+    # the resumable sweep state was persisted (crash-resume surface)
+    state = os.path.join(run_dir, "hpo_state.jsonl")
+    assert os.path.exists(state)
+    recs = [json.loads(line) for line in open(state)]
+    assert len(recs) >= 3 and all("hp" in r and "epochs" in r
+                                  for r in recs)
+
+    # second run, no tuning: must train with the tuned HPs
+    _run(tmp_path, ["--num_train_epochs=1"])
+    metrics_log = os.path.join(run_dir, "metrics.jsonl")
+    cfgs = [json.loads(line) for line in open(metrics_log)
+            if '"_config"' in line]
+    assert cfgs, "final run must log its config"
+    logged_hp = cfgs[-1]["_config"]["hp"]
+    assert logged_hp and logged_hp["learning_rate"] == best["learning_rate"]
