@@ -26,7 +26,7 @@ from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
 B, NEW, PROMPT = 4, 128, 64
 
 
-def measure(bits, quant_lm_head=False):
+def measure(bits, quant_lm_head=False, requant_merge=False):
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=2048, num_hidden_layers=22,
         num_attention_heads=32, num_key_value_heads=4,
@@ -40,6 +40,14 @@ def measure(bits, quant_lm_head=False):
         rngs=nnx.Rngs(1))
     if bits:
         quantize_frozen_base(model, bits=bits)
+    if requant_merge:
+        # serving-only lossy merge: fold the adapter delta into the int
+        # codes (quant.requantize_merge_adapters) so the quant config
+        # sheds the 7 x 22 per-step adapter ops the bf16 config merges
+        # away exactly
+        from sparse_matrix_fine_tuning_tpu.quant import (
+            requantize_merge_adapters)
+        assert requantize_merge_adapters(model) > 0
     if quant_lm_head:
         from sparse_matrix_fine_tuning_tpu.quant import quantize_lm_head
         assert quantize_lm_head(model, impl=quant_lm_head)
@@ -80,6 +88,7 @@ def measure(bits, quant_lm_head=False):
     floor_s = (p_proj * bytes_per_w
                + p_head * (1 if quant_lm_head else 2)) / 819e9
     return {"bits": bits or 16, "quant_lm_head": quant_lm_head,
+            "requant_merge": requant_merge,
             "ms_per_decode_step": round(per_tok * 1e3, 3),
             "tokens_per_s": round(B / per_tok),
             "pct_of_weight_roofline": round(floor_s / per_tok * 100, 1)}
@@ -87,12 +96,15 @@ def measure(bits, quant_lm_head=False):
 
 def main():
     out = []
-    for bits, qlm in ((0, False), (8, False), (8, "dequant"),
-                      (8, "w8a8"), (4, False), (4, "w8a8")):
+    for bits, qlm, merge in (
+            (0, False, False), (8, False, False), (8, "dequant", False),
+            (8, "w8a8", False), (4, False, False), (4, "w8a8", False),
+            (8, "w8a8", True), (4, "w8a8", True)):
         try:
-            rec = measure(bits, qlm)
+            rec = measure(bits, qlm, merge)
         except Exception as e:  # noqa: BLE001
             rec = {"bits": bits or 16, "quant_lm_head": qlm,
+                   "requant_merge": merge,
                    "error": f"{type(e).__name__}: {str(e)[:160]}"}
         print(json.dumps(rec), flush=True)
         out.append(rec)

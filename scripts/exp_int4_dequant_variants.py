@@ -139,6 +139,60 @@ def _gdot_kernel(xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, o_ref, *, g):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
+def _ukern_kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, g, f32dot):
+    """Unsigned nibbles with the offset-8 correction computed IN-KERNEL as
+    a tiny MXU dot (y -= 8 * group_sums(x) @ s): per-cell VPU work drops
+    to extract + convert + scale-mul -- no per-cell SUB, and with
+    ``f32dot`` no bf16 downcast either (the main dot runs in f32; at
+    decode batch the MXU time is negligible)."""
+    h, to = p_ref.shape
+    p = p_ref[...].astype(jnp.int32)
+
+    def half(nibble, s_ref, xh):  # xh (tb, h)
+        qu = (p & 15) if nibble == "lo" else (p >> 4)
+        s = s_ref[...]  # (ns2, to)
+        ns2 = s.shape[0]
+        sb = jnp.broadcast_to(s[:, None, :], (ns2, g, to)).reshape(h, to)
+        if f32dot:
+            w = qu.astype(jnp.float32) * sb
+            xd = xh.astype(jnp.float32)
+        else:
+            w = (qu.astype(jnp.float32) * sb).astype(xh.dtype)
+            xd = xh
+        acc = jax.lax.dot_general(
+            xd, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xh.astype(jnp.float32).reshape(-1, ns2, g), axis=-1)
+        corr = jax.lax.dot_general(
+            xsum, s, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc - 8.0 * corr
+
+    o_ref[...] = (half("lo", slo_ref, x_ref[:, :h])
+                  + half("hi", shi_ref, x_ref[:, h:])).astype(o_ref.dtype)
+
+
+def make_ukern_call(f32dot):
+    def call(x2d, packed_t, slo, shi, g, tb, to):
+        b, in_f = x2d.shape
+        h, out_f = packed_t.shape
+        ns2 = slo.shape[0]
+        return pl.pallas_call(
+            functools.partial(_ukern_kernel, g=g, f32dot=f32dot),
+            grid=(pl.cdiv(b, tb), out_f // to),
+            in_specs=[
+                pl.BlockSpec((tb, in_f), lambda i, j: (i, 0)),
+                pl.BlockSpec((h, to), lambda i, j: (0, j)),
+                pl.BlockSpec((ns2, to), lambda i, j: (0, j)),
+                pl.BlockSpec((ns2, to), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((tb, to), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((b, out_f), x2d.dtype),
+            interpret=INTERPRET,
+        )(x2d, packed_t, slo, shi)
+    return call
+
+
 def make_call(unpack):
     def call(x2d, packed_t, slo, shi, g, tb, to):
         b, in_f = x2d.shape
@@ -239,6 +293,8 @@ def main():
             "mul3d": plain(make_call(_unpack_mul3d)),
             "ucorr": corrected(make_call(_unpack_ucorr)),
             "ugdot": corrected(gdot_call),
+            "ukern": plain(make_ukern_call(False)),
+            "uf32": plain(make_ukern_call(True)),
         }
         print(f"--- B={B} {IN}->{OUT} (production tiles tb={tb}, to={to})")
         fns = {}

@@ -538,8 +538,9 @@ class MonarchLinear(nnx.Module):
                 "merge/unmerge on a quantized base: the dense holds packed "
                 f"int{self.quant_bits} codes -- adding a float adapter delta "
                 "into them would silently corrupt the weights.  Keep the "
-                "adapter unmerged (the quantized hot path already fuses it) "
-                "or merge BEFORE quantize_frozen_base.")
+                "adapter unmerged (the quantized hot path already fuses it), "
+                "merge BEFORE quantize_frozen_base, or use the lossy "
+                "serving-only quant.requantize_merge_adapters.")
 
     def merge_adapter(self) -> None:
         """Fold the adapter into the frozen dense weights for inference

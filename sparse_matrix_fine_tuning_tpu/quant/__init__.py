@@ -231,6 +231,60 @@ def quantize_lm_head(model: nnx.Module, impl: str = "dequant") -> bool:
     return True
 
 
+def requantize_merge_adapters(model: nnx.Module) -> int:
+    """SERVING-ONLY adapter merge for quantized bases: fold each unmerged
+    Monarch adapter into its int codes by dequantize -> add delta ->
+    requantize (same bits/group).
+
+    A quantized base cannot absorb the bf16 adapter delta exactly
+    (``MonarchLinear._check_mergeable`` guards the exact merge), so the
+    quantized decode configs pay per-layer adapter ops the bf16 config
+    merges away -- 7 x n_layers extra ops every decode step.  For serving
+    that trade can be reversed: requantizing ``W + delta`` carries ONE
+    quantization of the merged matrix instead of quant(W) + exact adapter,
+    the same noise class as quantizing a fine-tuned dense checkpoint
+    (the delta is adapter-scale, far below absmax, so group scales barely
+    move).  This is deliberately NOT what training/eval-during-training
+    uses: it is lossy and one-way (``unmerge_adapter`` on a requantized
+    layer still raises -- the exact factors remain in ``blkdiag*`` but the
+    dense codes can no longer subtract the delta exactly).
+
+    Returns the number of layers merged.  Layers with branch transforms
+    the fold cannot express exactly at serving time (dropout is identity
+    at eval but Scaler/mult-factor wrap the branch) are skipped, as are
+    already-merged or unquantized layers (use ``merge_all_adapters`` for
+    those BEFORE ``quantize_frozen_base``)."""
+    from sparse_matrix_fine_tuning_tpu.peft.surgery import _iter_parents
+    quant4 = jax.jit(_quantize_int4_device, static_argnums=(1,))
+    n = 0
+    candidates = [model] if isinstance(model, MonarchLinear) else []
+    candidates += [child for _, _, child in _iter_parents(model)]
+    for child in candidates:
+        if not (isinstance(child, MonarchLinear) and child.as_adapter
+                and not child.merged and getattr(child, "quant_bits", 0)):
+            continue
+        if child.scaler is not None or child.use_mult_factor:
+            print(f"[quant] requantize-merge skipping a layer with "
+                  f"scaler/mult-factor (branch transforms do not fold)")
+            continue
+        bits, group = child.quant_bits, child.quant_group
+        q, scales = child.dense[...], child.dense_scales[...]
+        if bits == 8:
+            w = dequantize_int8(q, scales, jnp.float32)
+        else:
+            w = dequantize_int4(q, scales, group, jnp.float32)
+        w = w + child.adapter_dense_equivalent().astype(jnp.float32)
+        if bits == 8:
+            q2, s2 = _quantize_int8_device(w)
+        else:
+            q2, s2 = quant4(w, group)
+        child.dense.set_value(q2)
+        child.dense_scales.set_value(s2)
+        child.merged = True
+        n += 1
+    return n
+
+
 def quantize_frozen_base(model: nnx.Module, bits: int = 8,
                          group_size: int = 64) -> int:
     """Quantize every MonarchLinear's frozen dense weight in place.

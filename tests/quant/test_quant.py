@@ -133,3 +133,57 @@ def test_int8_lm_head_fused_kernel_matches_xla_dequant():
     xla = x @ wd
     np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
                                rtol=1e-5, atol=1e-5)
+
+
+def _nonzero_adapter_layer(bits, rngs_seed=0):
+    """MonarchLinear adapter over a quantized base with a NONZERO delta
+    (lora_style zero-init would make the merge vacuous)."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 128)) * 0.1
+    layer = MonarchLinear(128, 128, weights=w, rngs=nnx.Rngs(rngs_seed))
+    layer.blkdiag2.set_value(
+        jax.random.normal(jax.random.PRNGKey(7), layer.blkdiag2[...].shape)
+        * 0.02)
+    n = quantize_frozen_base(layer, bits=bits, group_size=64)
+    assert n == 1
+    return layer
+
+
+def test_requantize_merge_close_and_one_way():
+    """Serving-only requantized merge (quant.requantize_merge_adapters):
+    output stays within quantization noise of the exact unmerged config,
+    the adapter branch is skipped afterwards (merged=True), and the lossy
+    merge cannot be unmerged (the exact-merge guard still raises)."""
+    import pytest
+
+    from sparse_matrix_fine_tuning_tpu.quant import requantize_merge_adapters
+
+    for bits, tol in ((8, 0.02), (4, 0.15)):
+        layer = _nonzero_adapter_layer(bits)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 128))
+        ref = np.asarray(layer(x))  # exact: quant base + unmerged adapter
+        assert requantize_merge_adapters(layer) == 1
+        assert layer.merged
+        out = np.asarray(layer(x))
+        scale = np.abs(ref).max()
+        diff = np.abs(out - ref).max()
+        # the delta changed the codes, so outputs differ -- but only by
+        # requantization noise of the merged matrix
+        assert 0 < diff < tol * scale + 0.01, (bits, diff, scale)
+        # one-way: the exact unmerge guard still refuses
+        with pytest.raises(ValueError, match="quantized base"):
+            layer.unmerge_adapter()
+        # idempotent: nothing left to merge
+        assert requantize_merge_adapters(layer) == 0
+
+
+def test_requantize_merge_skips_branch_transforms():
+    """Scaler-wrapped adapters cannot fold exactly into the dense codes at
+    serving time; the requantized merge must skip them, not corrupt them."""
+    from sparse_matrix_fine_tuning_tpu.quant import requantize_merge_adapters
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 128)) * 0.1
+    layer = MonarchLinear(128, 128, weights=w, rngs=nnx.Rngs(0),
+                          peft_config={"scaler": True})
+    quantize_frozen_base(layer, bits=8)
+    assert requantize_merge_adapters(layer) == 0
+    assert not layer.merged
