@@ -26,7 +26,7 @@ from sparse_matrix_fine_tuning_tpu.quant import quantize_frozen_base
 B, NEW, PROMPT = 4, 128, 64
 
 
-def measure(bits, quant_lm_head=False, requant_merge=False):
+def measure(bits, quant_lm_head=False, requant_merge=False, w8a8_proj=False):
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=2048, num_hidden_layers=22,
         num_attention_heads=32, num_key_value_heads=4,
@@ -48,6 +48,11 @@ def measure(bits, quant_lm_head=False, requant_merge=False):
         from sparse_matrix_fine_tuning_tpu.quant import (
             requantize_merge_adapters)
         assert requantize_merge_adapters(model) > 0
+    if w8a8_proj:
+        # serving-only w8a8 projections: per-token activation quant +
+        # int8 MXU dots, zero weight-dequant VPU work
+        from sparse_matrix_fine_tuning_tpu.quant import enable_w8a8_serving
+        assert enable_w8a8_serving(model) > 0
     if quant_lm_head:
         from sparse_matrix_fine_tuning_tpu.quant import quantize_lm_head
         assert quantize_lm_head(model, impl=quant_lm_head)
@@ -88,7 +93,7 @@ def measure(bits, quant_lm_head=False, requant_merge=False):
     floor_s = (p_proj * bytes_per_w
                + p_head * (1 if quant_lm_head else 2)) / 819e9
     return {"bits": bits or 16, "quant_lm_head": quant_lm_head,
-            "requant_merge": requant_merge,
+            "requant_merge": requant_merge, "w8a8_proj": w8a8_proj,
             "ms_per_decode_step": round(per_tok * 1e3, 3),
             "tokens_per_s": round(B / per_tok),
             "pct_of_weight_roofline": round(floor_s / per_tok * 100, 1)}
@@ -96,15 +101,17 @@ def measure(bits, quant_lm_head=False, requant_merge=False):
 
 def main():
     out = []
-    for bits, qlm, merge in (
-            (0, False, False), (8, False, False), (8, "dequant", False),
-            (8, "w8a8", False), (4, False, False), (4, "w8a8", False),
-            (8, "w8a8", True), (4, "w8a8", True)):
+    for bits, qlm, merge, w8a8 in (
+            (0, False, False, False), (8, False, False, False),
+            (8, "dequant", False, False), (8, "w8a8", False, False),
+            (4, False, False, False), (4, "w8a8", False, False),
+            (8, "w8a8", True, False), (4, "w8a8", True, False),
+            (8, "w8a8", True, True)):
         try:
-            rec = measure(bits, qlm, merge)
+            rec = measure(bits, qlm, merge, w8a8)
         except Exception as e:  # noqa: BLE001
             rec = {"bits": bits or 16, "quant_lm_head": qlm,
-                   "requant_merge": merge,
+                   "requant_merge": merge, "w8a8_proj": w8a8,
                    "error": f"{type(e).__name__}: {str(e)[:160]}"}
         print(json.dumps(rec), flush=True)
         out.append(rec)

@@ -139,32 +139,36 @@ def _gdot_kernel(xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, o_ref, *, g):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _ukern_kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, g, f32dot):
-    """Unsigned nibbles with the offset-8 correction computed IN-KERNEL as
-    a tiny MXU dot (y -= 8 * group_sums(x) @ s): per-cell VPU work drops
-    to extract + convert + scale-mul -- no per-cell SUB, and with
-    ``f32dot`` no bf16 downcast either (the main dot runs in f32; at
-    decode batch the MXU time is negligible)."""
+def _ukern_kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, g, variant):
+    """Leaner in-kernel arithmetic.  ``f32dot``: the signed unpack but the
+    main dot runs on f32 operands (skips the per-cell bf16 downcast; at
+    decode batch the MXU cost is negligible).  ``u2dot``: unsigned
+    nibbles, y = x @ (qu * sb) - 8 * (x @ sb) -- the offset-8 correction
+    is a SECOND MXU dot against the scale broadcast that is materialised
+    anyway, so per-cell VPU work drops to extract + convert + scale-mul
+    (no SUB, no downcast).  NB the earlier group-sum formulation needed a
+    lane-dim split reshape that Mosaic rejects on real hardware."""
     h, to = p_ref.shape
     p = p_ref[...].astype(jnp.int32)
 
     def half(nibble, s_ref, xh):  # xh (tb, h)
-        qu = (p & 15) if nibble == "lo" else (p >> 4)
         s = s_ref[...]  # (ns2, to)
         ns2 = s.shape[0]
         sb = jnp.broadcast_to(s[:, None, :], (ns2, g, to)).reshape(h, to)
-        if f32dot:
-            w = qu.astype(jnp.float32) * sb
-            xd = xh.astype(jnp.float32)
-        else:
-            w = (qu.astype(jnp.float32) * sb).astype(xh.dtype)
-            xd = xh
+        xf = xh.astype(jnp.float32)
+        if variant == "f32dot":
+            qi = (p & 15) - 8 if nibble == "lo" else (p >> 4) - 8
+            return jax.lax.dot_general(
+                xf, qi.astype(jnp.float32) * sb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        qu = (p & 15) if nibble == "lo" else (p >> 4)
         acc = jax.lax.dot_general(
-            xd, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            xf, qu.astype(jnp.float32) * sb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        xsum = jnp.sum(xh.astype(jnp.float32).reshape(-1, ns2, g), axis=-1)
         corr = jax.lax.dot_general(
-            xsum, s, dimension_numbers=(((1,), (0,)), ((), ())),
+            xf, sb, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc - 8.0 * corr
 
@@ -172,13 +176,13 @@ def _ukern_kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, g, f32dot):
                   + half("hi", shi_ref, x_ref[:, h:])).astype(o_ref.dtype)
 
 
-def make_ukern_call(f32dot):
+def make_ukern_call(variant):
     def call(x2d, packed_t, slo, shi, g, tb, to):
         b, in_f = x2d.shape
         h, out_f = packed_t.shape
         ns2 = slo.shape[0]
         return pl.pallas_call(
-            functools.partial(_ukern_kernel, g=g, f32dot=f32dot),
+            functools.partial(_ukern_kernel, g=g, variant=variant),
             grid=(pl.cdiv(b, tb), out_f // to),
             in_specs=[
                 pl.BlockSpec((tb, in_f), lambda i, j: (i, 0)),
@@ -293,8 +297,8 @@ def main():
             "mul3d": plain(make_call(_unpack_mul3d)),
             "ucorr": corrected(make_call(_unpack_ucorr)),
             "ugdot": corrected(gdot_call),
-            "ukern": plain(make_ukern_call(False)),
-            "uf32": plain(make_ukern_call(True)),
+            "f32dot": plain(make_ukern_call("f32dot")),
+            "u2dot": plain(make_ukern_call("u2dot")),
         }
         print(f"--- B={B} {IN}->{OUT} (production tiles tb={tb}, to={to})")
         fns = {}

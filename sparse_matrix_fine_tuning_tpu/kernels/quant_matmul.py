@@ -112,12 +112,23 @@ def _unpack_scaled(p, s_ref, g: int, nibble: str, dtype):
     return (qi.astype(jnp.float32) * sb).astype(dtype)
 
 
-def _fwd_kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, g: int):
+def _fwd_kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, g: int,
+                f32dot: bool):
+    """``f32dot`` (decode-size batches, b <= 64): the dequantized weight
+    half stays f32 and the dot runs on f32 operands -- drops the per-cell
+    f32 -> bf16 downcast, the largest single saving measured across seven
+    arithmetic variants on the v5e (scripts/exp_int4_dequant_variants.py:
+    15.5 -> 11.7 us at the (4, 2048)x(2048, 5632) decode dot, exact vs
+    the f32 oracle).  At training batches the f32 MXU rate (1/8 of bf16)
+    would dominate, so large-b grids keep the bf16 operands."""
     h, _ = p_ref.shape
     p = p_ref[...].astype(jnp.int32)  # widen once, shared by both halves
 
     def half_dot(nibble, s_ref, xh):
-        w = _unpack_scaled(p, s_ref, g, nibble, x_ref.dtype)
+        w = _unpack_scaled(p, s_ref, g, nibble,
+                           jnp.float32 if f32dot else x_ref.dtype)
+        if f32dot:
+            xh = xh.astype(jnp.float32)
         return jax.lax.dot_general(
             xh, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -159,7 +170,7 @@ def _fwd_call(x2d, packed_t, slo, shi, g, interpret):
     grid = (pl.cdiv(b, tb), out_f // to)  # row-major: x block reused over j
     ns2 = slo.shape[0]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, g=g),
+        functools.partial(_fwd_kernel, g=g, f32dot=b <= 64),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, in_f), lambda i, j: (i, 0)),

@@ -408,6 +408,18 @@ class MonarchLinear(nnx.Module):
             from sparse_matrix_fine_tuning_tpu.kernels.quant_matmul import (
                 int8_matmul, int8_matmul_supported)
             scales = self.dense_scales[...]
+            if getattr(self, "serve_w8a8", False):
+                # serving-only w8a8 (quant.enable_w8a8_serving): per-token
+                # activation quant + int8 MXU dot, no weight dequant work
+                xf = x.astype(jnp.float32)
+                sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+                sx = jnp.maximum(sx, 1e-12)
+                xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                out = (acc.astype(jnp.float32) * sx * scales).astype(x.dtype)
+                return self._apply_mult(out)
             if (jax.default_backend() == "tpu"
                     and int8_matmul_supported(x.shape, w.shape,
                                               jnp.dtype(compute).itemsize)):

@@ -231,6 +231,36 @@ def quantize_lm_head(model: nnx.Module, impl: str = "dequant") -> bool:
     return True
 
 
+def enable_w8a8_serving(model: nnx.Module) -> int:
+    """Opt-in w8a8 decode for int8-quantized bases: per-token activation
+    quantization + an int8 x int8 -> int32 MXU dot, scales applied to the
+    int32 accumulator (per-out weight scale x per-token activation scale).
+
+    Pure XLA -- no weight dequantisation AT ALL (the fused Pallas kernel
+    still pays ~3 VPU passes per weight cell widening int8 -> f32 -> bf16;
+    the Int8LMHead measured the same trade at the head shape: w8a8 89.3 us
+    vs fused Pallas 113.4 vs XLA dequant-dot 94.8).  Decode at batch 4 is
+    weight-read-bound, so removing the per-cell dequant work takes the
+    projection dots to the int8 DMA floor.  One more quantization error
+    term (activations at 1/127 per token); serving-only, like
+    ``requantize_merge_adapters`` -- training and in-training eval keep
+    the exact dequant paths.
+
+    Returns the number of layers switched (int8 layers only; int4's
+    grouped scales cannot ride the int32 accumulator -- group partials
+    would need scale-weighted summation before accumulation)."""
+    from sparse_matrix_fine_tuning_tpu.peft.surgery import _iter_parents
+    n = 0
+    candidates = [model] if isinstance(model, MonarchLinear) else []
+    candidates += [child for _, _, child in _iter_parents(model)]
+    for child in candidates:
+        if (isinstance(child, MonarchLinear)
+                and getattr(child, "quant_bits", 0) == 8):
+            child.serve_w8a8 = True
+            n += 1
+    return n
+
+
 def requantize_merge_adapters(model: nnx.Module) -> int:
     """SERVING-ONLY adapter merge for quantized bases: fold each unmerged
     Monarch adapter into its int codes by dequantize -> add delta ->

@@ -24,9 +24,10 @@ def _mk(out_f, in_f, g, b, seed=0, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize("out_f,in_f,g,b", [
-    (256, 256, 64, 4),      # decode-like tiny batch
+    (256, 256, 64, 4),      # decode-like tiny batch (f32dot branch)
     (384, 512, 64, 16),     # rectangular
     (128, 768, 32, 8),      # RoBERTa-ish in_features, small group
+    (256, 256, 64, 96),     # training-size batch (bf16-operand branch)
 ])
 def test_fwd_matches_dequant_oracle(out_f, in_f, g, b):
     x, packed_t, scales = _mk(out_f, in_f, g, b)

@@ -187,3 +187,27 @@ def test_requantize_merge_skips_branch_transforms():
     quantize_frozen_base(layer, bits=8)
     assert requantize_merge_adapters(layer) == 0
     assert not layer.merged
+
+
+def test_w8a8_serving_close():
+    """quant.enable_w8a8_serving: int8 MXU dot with per-token activation
+    quant must stay close to the exact dequant path (one extra ~1/127
+    error term) and must only switch int8 layers."""
+    from sparse_matrix_fine_tuning_tpu.quant import enable_w8a8_serving
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 128)) * 0.1
+    layer = MonarchLinear(128, 128, weights=w, rngs=nnx.Rngs(0))
+    quantize_frozen_base(layer, bits=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 128))
+    ref = np.asarray(layer(x))
+    assert enable_w8a8_serving(layer) == 1
+    out = np.asarray(layer(x))
+    scale = np.abs(ref).max()
+    diff = np.abs(out - ref).max()
+    assert 0 < diff < 0.03 * scale + 0.01, (diff, scale)
+
+    # int4 layers are not switchable (grouped scales can't ride the
+    # int32 accumulator)
+    layer4 = MonarchLinear(128, 128, weights=w, rngs=nnx.Rngs(0))
+    quantize_frozen_base(layer4, bits=4, group_size=64)
+    assert enable_w8a8_serving(layer4) == 0
