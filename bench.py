@@ -106,10 +106,11 @@ def _emit_stale_record(reason: str) -> None:
 
 
 def _bench_int8_decode():
-    """Greedy decode tokens/s, int8 frozen base + w8a8 int8 lm_head +
-    unmerged Monarch adapters (the measured-best serving config --
-    docs/BENCHMARKS.md decode table; ablation vs plain int8/bf16 in the
-    committed results/decode_bits.json), on the TinyLlama-1.1B shape.
+    """Greedy decode tokens/s, int8 frozen base + requantized adapter
+    merge + w8a8 int8 lm_head (the measured-best serving config, 82.8% of
+    its weight roofline -- docs/BENCHMARKS.md decode table; full 9-row
+    ablation incl. unmerged/int4/w8a8-projection rows in the committed
+    results/decode_bits.json), on the TinyLlama-1.1B shape.
     Slope-timed: one call generating N tokens vs one generating 3N with
     fresh prompts (identical-args calls are elided by the tunnel),
     per-token = slope; cancels prefill + dispatch cost."""
@@ -138,7 +139,9 @@ def _bench_int8_decode():
                                "gate_proj", "up_proj", "down_proj"]},
             rngs=nnx.Rngs(1))
         quantize_frozen_base(model, bits=8)
-        from sparse_matrix_fine_tuning_tpu.quant import quantize_lm_head
+        from sparse_matrix_fine_tuning_tpu.quant import (
+            quantize_lm_head, requantize_merge_adapters)
+        requantize_merge_adapters(model)
         quantize_lm_head(model, impl="w8a8")
         model.eval()
         mask = jnp.ones((B, PROMPT), jnp.int32)
@@ -167,8 +170,8 @@ def _bench_int8_decode():
             "tokens_per_s": round(B / per_tok),
             "config": ("TinyLlama-1.1B shape (2048h x 22L, GQA4), int8 "
                        "frozen base + fused dequant-matmul kernels + "
-                       "w8a8 int8 lm_head + unmerged Monarch adapters, "
-                       "greedy, batch 4"),
+                       "requantized adapter merge (serving-only) + "
+                       "w8a8 int8 lm_head, greedy, batch 4"),
         }
     except Exception as e:  # noqa: BLE001 -- decode bench must not sink the record
         return {"error": f"{type(e).__name__}: {str(e)[:200]}"}

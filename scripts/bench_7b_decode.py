@@ -34,7 +34,7 @@ from sparse_matrix_fine_tuning_tpu.quant import (
 B, NEW, PROMPT = 4, 64, 32
 
 
-def measure(bits: int, head: str | bool):
+def measure(bits: int, head: str | bool, requant_merge: bool = False):
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=4096, num_hidden_layers=32,
         num_attention_heads=32, num_key_value_heads=32,
@@ -50,6 +50,12 @@ def measure(bits: int, head: str | bool):
                                "gate_proj", "up_proj", "down_proj"]},
             rngs=nnx.Rngs(1))
         nq = quantize_frozen_base(model, bits=bits)
+        if requant_merge:
+            # serving-only lossy merge: sheds the 7 x 32 per-step adapter
+            # ops (quant.requantize_merge_adapters)
+            from sparse_matrix_fine_tuning_tpu.quant import (
+                requantize_merge_adapters)
+            assert requantize_merge_adapters(model) == nq
         if head:
             assert quantize_lm_head(model, impl=head)
     tpu = jax.devices()[0]
@@ -86,6 +92,7 @@ def measure(bits: int, head: str | bool):
     floor_s = (p_proj * {8: 1, 4: 0.5}[bits]
                + p_head * (1 if head else 2)) / 819e9
     return {"bits": bits, "quant_lm_head": head,
+            "requant_merge": requant_merge,
             "ms_per_decode_step": round(per_tok * 1e3, 3),
             "tokens_per_s": round(B / per_tok),
             "pct_of_weight_roofline": round(floor_s / per_tok * 100, 1),
@@ -94,11 +101,13 @@ def measure(bits: int, head: str | bool):
 
 def main():
     out = []
-    for bits, head in ((4, False), (4, "w8a8")):
+    for bits, head, merge in ((4, False, False), (4, "w8a8", False),
+                              (4, "w8a8", True)):
         try:
-            rec = measure(bits, head)
+            rec = measure(bits, head, merge)
         except Exception as e:  # noqa: BLE001 -- report per-config
             rec = {"bits": bits, "quant_lm_head": head,
+                   "requant_merge": merge,
                    "error": f"{type(e).__name__}: {str(e)[:200]}"}
         print(json.dumps(rec), flush=True)
         out.append(rec)
