@@ -41,6 +41,12 @@ def parse_args():
     p.add_argument("--smoke", default=False, type=eval,
                    help="synthetic data + tiny model (no pretrained weights)")
     p.add_argument("--tune_blk_config", default=False, type=eval)
+    p.add_argument("--tune_lr_scale", default=1.0, type=float,
+                   help="multiply the HPO lr bounds (1.0 = reference "
+                        "parity; the smoke corpus needs ~10x)")
+    p.add_argument("--tune_grace", default=None, type=float,
+                   help="override the per-task ASHA grace (min epochs "
+                        "before a trial can be stopped)")
     p.add_argument("--as_base_hp", default=False, type=eval)
     p.add_argument("--resume", default=False, type=eval)
     p.add_argument("--profile", action="store_true")
@@ -202,14 +208,20 @@ def build_search_space(args, peft_config, train_args):
     from sparse_matrix_fine_tuning_tpu.training.hpo import (
         choice, grid, quniform)
 
+    # --tune_lr_scale multiplies the lr bounds (default 1.0 = exact
+    # reference-space parity).  The synthetic smoke corpus needs ~10x the
+    # real-data lr to move in a compressed-epoch budget, so the committed
+    # on-chip sweep artifact (scripts/run_hpo_cola_chip.sh) passes a
+    # scale; real-data sweeps should not.
+    s = args.tune_lr_scale
     if args.boft:
         return ({"seed": train_args.seed,
-                 "learning_rate": quniform(8e-5, 8e-4, 4e-5)},
+                 "learning_rate": quniform(8e-5 * s, 8e-4 * s, 4e-5 * s)},
                 args.n_trials or 15)
     if args.monarch:
         space = {
             "seed": train_args.seed,
-            "learning_rate": quniform(1e-4, 6.6e-4, 2e-5),
+            "learning_rate": quniform(1e-4 * s, 6.6e-4 * s, 2e-5 * s),
             "per_device_train_batch_size": choice([16, 32]),
             "weight_decay": train_args.weight_decay,
             "lr_scheduler_type": "cosine",
@@ -333,7 +345,12 @@ def main():
         # budget ceiling: reference ASHA max_t in eval-iteration units,
         # capped by the recipe's epochs; grace = min rung budget
         max_ep = min(float(budget["max_t"]), float(train_args.num_train_epochs))
-        min_ep = min(float(budget["grace"]), max_ep)
+        # --tune_grace overrides the per-task ASHA grace (epoch units);
+        # the smoke corpus learns nothing before ~5 epochs, so the
+        # committed on-chip sweep raises it (real-data sweeps keep the
+        # reference budget's value)
+        grace = args.tune_grace if args.tune_grace else budget["grace"]
+        min_ep = min(float(grace), max_ep)
 
         def run_trial(hp, epochs, trial_id):
             # per-trial dir + resume: a survivor's next rung EXTENDS its
