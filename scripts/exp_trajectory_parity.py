@@ -75,7 +75,9 @@ def _ref_train_utils():
     return train_utils
 
 
-def run(steps: int = STEPS, seq: int = 64, mb: int = 8):
+def run(steps: int = STEPS, seq: int = 64, mb: int = 8,
+        param_dtype: str = "bfloat16", merged: str = "on",
+        loss_chunk: int = 32):
     import numpy as np
     import torch
     import transformers
@@ -104,8 +106,8 @@ def run(steps: int = STEPS, seq: int = 64, mb: int = 8):
         vocab_size=512, hidden_size=768, intermediate_size=3072,
         num_hidden_layers=2, num_attention_heads=12,
         num_key_value_heads=12, max_position_embeddings=seq,
-        rms_norm_eps=1e-6, param_dtype="bfloat16", dtype="bfloat16",
-        loss_chunk=32)
+        rms_norm_eps=1e-6, param_dtype=param_dtype, dtype=param_dtype,
+        loss_chunk=loss_chunk)
     model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
     load_llama(model, {k: v for k, v in hf_model.state_dict().items()})
 
@@ -120,8 +122,16 @@ def run(steps: int = STEPS, seq: int = 64, mb: int = 8):
             rl, ol = getattr(sa_t, name), getattr(sa_j, name)
             assert type(rl).__name__ == "MonarchLinear"
             assert np.all(rl.blkdiag2.detach().numpy() == 0)
-            ol.blkdiag1.set_value(jnp.asarray(
-                rl.blkdiag1.detach().numpy()).astype(ol.blkdiag1[...].dtype))
+            # EXPLICIT COPY (np.array): .numpy() shares memory with the
+            # torch parameter and jax's CPU backend zero-copy-aliases
+            # numpy buffers, so with matching dtypes the synced factor
+            # would keep tracking torch's in-place AdamW updates -- our
+            # side would start from torch's POST-training factors and the
+            # "parity" would silently compare shifted trajectories
+            # (hf_convert._np guards the same hazard for weight loading).
+            ol.blkdiag1.set_value(jnp.asarray(np.array(
+                rl.blkdiag1.detach().numpy(), copy=True)
+            ).astype(ol.blkdiag1[...].dtype))
 
     # --- torch side: reference surgery's designated trainable set
     # (blkdiag factors; same freeze note as test_training_trajectory.py)
@@ -158,13 +168,14 @@ def run(steps: int = STEPS, seq: int = 64, mb: int = 8):
         warmup_ratio=0.0, lr_scheduler_type="constant", max_grad_norm=0.0,
         max_steps=steps, per_device_train_batch_size=mb,
         gradient_accumulation_steps=1, large_lr=False,
-        merged_training="on", logging_steps=0, log_param_steps=0)
+        merged_training=merged, logging_steps=0, log_param_steps=0)
     dummy = {"input_ids": np.zeros((steps * mb, seq), np.int32),
              "attention_mask": np.ones((steps * mb, seq), np.int32),
              "labels": np.zeros((steps * mb, seq), np.int32)}
     # blkdiag factors ONLY (no lm_head), matching the torch side's set
     tr = Trainer(model, args, train_data=dummy, extra_trainable_paths=())
-    assert tr._n_merged == 2 * cfg.num_hidden_layers
+    if merged == "on":
+        assert tr._n_merged == 2 * cfg.num_hidden_layers
     n_trainable = sum(leaf[...].size
                       for _, leaf in nnx.state(model, tr.filt).flat_state())
     assert n_trainable == sum(p.numel() for p in train_params), \

@@ -35,10 +35,14 @@ def test_50step_bf16_merged_chunked_trajectory_tracks_reference():
     t = np.asarray(rec["torch_losses"])
     o = np.asarray(rec["our_losses"])
 
-    # bf16 params+compute vs f32: per-step agreement at bf16 noise scale
-    # (~0.5% of a ~6.4-nat loss, with drift headroom over 50 AdamW steps)
-    assert rec["max_abs_loss_diff"] < 0.08, rec
-    assert rec["mean_abs_loss_diff"] < 0.03, rec
+    # bf16 params+compute vs f32: per-step agreement at bf16 noise scale.
+    # Measured 0.0014 max / 0.0003 mean over 50 steps once the factor
+    # sync stopped aliasing torch storage (jax CPU zero-copy of .numpy()
+    # views -- the synced init silently tracked torch's in-place AdamW
+    # updates and this test compared SHIFTED trajectories); tolerances
+    # leave ~10x headroom over the measured drift.
+    assert rec["max_abs_loss_diff"] < 0.02, rec
+    assert rec["mean_abs_loss_diff"] < 0.005, rec
     # both trainings actually moved, by comparable amounts
     assert rec["torch_total_decrease"] > 0.05, rec
     assert rec["our_total_decrease"] > 0.05, rec
