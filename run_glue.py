@@ -213,7 +213,7 @@ def build_search_space(args, peft_config, train_args):
     # real-data lr to move in a compressed-epoch budget, so the committed
     # on-chip sweep artifact (scripts/run_hpo_cola_chip.sh) passes a
     # scale; real-data sweeps should not.
-    s = args.tune_lr_scale
+    s = getattr(args, "tune_lr_scale", 1.0)
     if args.boft:
         return ({"seed": train_args.seed,
                  "learning_rate": quniform(8e-5 * s, 8e-4 * s, 4e-5 * s)},
@@ -349,7 +349,7 @@ def main():
         # the smoke corpus learns nothing before ~5 epochs, so the
         # committed on-chip sweep raises it (real-data sweeps keep the
         # reference budget's value)
-        grace = args.tune_grace if args.tune_grace else budget["grace"]
+        grace = getattr(args, "tune_grace", None) or budget["grace"]
         min_ep = min(float(grace), max_ep)
 
         def run_trial(hp, epochs, trial_id):
